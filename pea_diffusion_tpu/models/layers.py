@@ -1,0 +1,256 @@
+"""Shared building blocks for UNet / VAE / ControlNet.
+
+TPU-first choices:
+- NHWC layout everywhere (TPU conv native layout; torch converters transpose).
+- Norms (GroupNorm/LayerNorm) computed in fp32, matmuls/convs in the module
+  compute dtype (bf16 in pipelines), fp32 params.
+- Attention runs through ops.attention (Pallas flash for long self-attn).
+- No python control flow on traced values; dropout is structurally absent
+  (the UNet is frozen in this framework — only the adapter trains).
+
+Numerics match diffusers' SD-era blocks (resnet eps 1e-5, transformer GN eps
+1e-6, GEGLU feed-forward, exact-erf GELU) so converted torch weights produce
+the same outputs; cited per class.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops.attention import dot_product_attention
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """Sinusoidal embeddings, diffusers get_timestep_embedding parity."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    if flip_sin_to_cos:
+        return jnp.concatenate([jnp.cos(emb), jnp.sin(emb)], axis=-1)
+    return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    """linear_1 -> silu -> linear_2 (diffusers TimestepEmbedding)."""
+
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="linear_1")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="linear_2")(x)
+
+
+def group_norm(x, scale, bias, num_groups: int, eps: float):
+    """fp32 GroupNorm over NHWC / N...C input with per-channel affine."""
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    shape = x.shape
+    c = shape[-1]
+    g = num_groups
+    xg = x.reshape(shape[:-1] + (g, c // g))
+    red = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+    mean = xg.mean(axis=red, keepdims=True)
+    var = xg.var(axis=red, keepdims=True)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(shape)
+    x = x * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return x.astype(orig_dtype)
+
+
+class GroupNorm(nn.Module):
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, scale, bias, self.num_groups, self.eps)
+
+
+class ResnetBlock2D(nn.Module):
+    """GN-silu-conv x2 with timestep bias and 1x1 shortcut (diffusers
+    ResnetBlock2D, output_scale_factor=1)."""
+
+    out_channels: int
+    norm_num_groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb: Optional[jnp.ndarray] = None):
+        in_channels = x.shape[-1]
+        h = GroupNorm(self.norm_num_groups, self.eps, name="norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(h)
+        if temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = GroupNorm(self.norm_num_groups, self.eps, name="norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)
+
+
+class MultiHeadAttention(nn.Module):
+    """QKV linear attention head wrapper over ops.attention (to_q/k/v bias-free,
+    to_out biased — diffusers Attention)."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, context: Optional[jnp.ndarray] = None):
+        context = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+
+        b, sq, _ = q.shape
+        skv = k.shape[1]
+
+        def split(t, s):
+            t = t.reshape(b, s, self.num_heads, self.head_dim)
+            return t.transpose(0, 2, 1, 3).reshape(b * self.num_heads, s, self.head_dim)
+
+        out = dot_product_attention(
+            split(q, sq), split(k, skv), split(v, skv),
+            scale=1.0 / math.sqrt(self.head_dim), backend=self.backend,
+        )
+        out = out.reshape(b, self.num_heads, sq, self.head_dim)
+        out = out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+        return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward: proj to 2*4*dim, gate with exact gelu."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
+
+
+class LayerNormFP32(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dt = x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        x = x.astype(jnp.float32)
+        mean = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return x.astype(dt)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN->self-attn, LN->cross-attn, LN->GEGLU-FF, pre-norm residuals."""
+
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = x + MultiHeadAttention(
+            self.num_heads, self.head_dim, self.dtype, self.backend,
+            name="attn1",
+        )(LayerNormFP32(name="norm1")(x))
+        x = x + MultiHeadAttention(
+            self.num_heads, self.head_dim, self.dtype, self.backend,
+            name="attn2",
+        )(LayerNormFP32(name="norm2")(x), context)
+        dim = self.num_heads * self.head_dim
+        x = x + FeedForward(dim, dtype=self.dtype, name="ff")(
+            LayerNormFP32(name="norm3")(x)
+        )
+        return x
+
+
+class Transformer2D(nn.Module):
+    """GN -> proj_in -> N transformer blocks over HW tokens -> proj_out + res.
+
+    `use_linear_projection` only changes the stored weight shape (1x1 conv vs
+    linear) — on TPU both run as a single matmul over [B*H*W, C].
+    """
+
+    num_heads: int
+    head_dim: int
+    depth: int
+    norm_num_groups: int = 32
+    use_linear_projection: bool = False
+    dtype: jnp.dtype = jnp.float32
+    backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        residual = x
+        x = GroupNorm(self.norm_num_groups, 1e-6, name="norm")(x)
+        x = x.reshape(b, h * w, c)
+        x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)
+        for i in range(self.depth):
+            x = BasicTransformerBlock(
+                self.num_heads, self.head_dim, self.dtype, self.backend,
+                name=f"blocks_{i}",
+            )(x, context)
+        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        return x.reshape(b, h, w, c) + residual

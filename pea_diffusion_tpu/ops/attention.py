@@ -1,0 +1,54 @@
+"""Attention dispatch: Pallas flash kernel on TPU for long sequences, plain
+XLA einsum-softmax otherwise (cross-attention over 77 text tokens gains
+nothing from flash). Replaces the reference's torch-SDP/xformers dependency
+(tests/test_sdxl_zh.py:16-21)."""
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .flash_attention import flash_attention
+
+# Minimum query length for the flash path; below this the score matrix fits
+# comfortably in VMEM and XLA's fusion is already optimal.
+FLASH_MIN_SEQ = 1024
+
+
+def _use_flash(sq: int, backend: str) -> bool:
+    if backend == "flash":
+        return True
+    if backend == "xla":
+        return False
+    if os.environ.get("PEA_DISABLE_FLASH"):
+        return False
+    return jax.default_backend() == "tpu" and sq >= FLASH_MIN_SEQ
+
+
+def xla_attention(q, k, v, scale, mask: Optional[jnp.ndarray] = None):
+    """q: [BH, Sq, D]; softmax in fp32 for bf16 stability."""
+    s = jnp.einsum("bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    if mask is not None:
+        s = jnp.where(mask, s, jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bqk,bkd->bqd", p, v)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    mask: Optional[jnp.ndarray] = None,
+    backend: str = "auto",  # auto | flash | xla
+) -> jnp.ndarray:
+    """Multi-head attention over flattened [B*H, S, D] tensors."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if mask is None and _use_flash(q.shape[1], backend):
+        return flash_attention(q, k, v, scale=scale)
+    return xla_attention(q, k, v, scale, mask)
