@@ -143,14 +143,15 @@ class MultiHeadAttention(nn.Module):
     head_dim: int
     dtype: jnp.dtype = jnp.float32
     backend: str = "auto"
+    qkv_bias: bool = False  # UNet attn: False; VAE attn: True (diffusers parity)
 
     @nn.compact
     def __call__(self, x, context: Optional[jnp.ndarray] = None):
         context = x if context is None else context
         inner = self.num_heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_v")(context)
 
         b, sq, _ = q.shape
         skv = k.shape[1]

@@ -31,7 +31,7 @@ class VAEMidBlock(nn.Module):
         x = GroupNorm(self.norm_num_groups, 1e-6, name="attn_norm")(h)
         x = x.reshape(b, hh * ww, c)
         x = MultiHeadAttention(1, c, dtype=self.dtype, backend="xla",
-                               name="attn")(x)
+                               qkv_bias=True, name="attn")(x)
         h = res + x.reshape(b, hh, ww, c)
         return ResnetBlock2D(self.channels, self.norm_num_groups, dtype=self.dtype,
                              name="resnet_1")(h)
