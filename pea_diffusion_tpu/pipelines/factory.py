@@ -1,0 +1,111 @@
+"""Factories wiring text-encoder families + adapter + UNet + VAE into
+PEAModels bundles (the 5-way switch at train_sdxl_zh.py:96-134, minus torch).
+
+`text_encoder` families:
+- "chinese_clip": BERT tower, token states [B,T,1024]        (:103-107)
+- "mul_clip":     XLM-R tower, token states [B,T,1024]       (:96-101)
+- "mt5":          T5 encoder, last hidden [B,T,2048]         (:109-113)
+- "alt_clip":     XLM-R-base-style tower [B,T,768]           (:115-124)
+- "mul_zh":       concat(mul_clip, chinese_clip) [B,T,2048]  (:125-134)
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..configs.adapter import ADAPTER_PRESETS, AdapterConfig
+from ..configs.text_encoder import BertTextConfig, T5Config
+from ..configs.unet import UNetConfig, VAEConfig
+from ..models.adapter import PEAAdapter
+from ..models.bert_text import BertTextEncoder
+from ..models.mt5 import T5Encoder
+from ..models.unet import UNet2DCondition
+from ..models.vae import AutoencoderKL
+from ..schedulers import NoiseScheduleConfig, SDXL_SCHEDULE
+from .text2image import PEAModels
+
+
+def make_text_encoder_fn(family: str, text_cfg, dtype=jnp.float32):
+    """Returns (module(s), fn(params, ids) -> [B,T,D]) for a student family."""
+    if family in ("chinese_clip", "mul_clip", "alt_clip"):
+        enc = BertTextEncoder(text_cfg, dtype=dtype)
+
+        def fn(params, ids):
+            return enc.apply(params, ids).last_hidden_state
+
+        return enc, fn
+    if family == "mt5":
+        enc = T5Encoder(text_cfg, dtype=dtype)
+
+        def fn(params, ids):
+            return enc.apply(params, ids)
+
+        return enc, fn
+    if family == "mul_zh":  # concat of two towers; text_cfg = (mul_cfg, zh_cfg)
+        enc_mul = BertTextEncoder(text_cfg[0], dtype=dtype)
+        enc_zh = BertTextEncoder(text_cfg[1], dtype=dtype)
+
+        def fn(params, ids):
+            # ids: dict with "mul" and "zh" token ids
+            a = enc_mul.apply(params["mul"], ids["mul"]).last_hidden_state
+            b = enc_zh.apply(params["zh"], ids["zh"]).last_hidden_state
+            return jnp.concatenate([a, b], axis=-1)
+
+        return (enc_mul, enc_zh), fn
+    raise ValueError(family)
+
+
+def build_models(
+    *,
+    family: str,
+    text_cfg,
+    adapter_cfg: AdapterConfig,
+    unet_cfg: UNetConfig,
+    vae_cfg: VAEConfig,
+    schedule: NoiseScheduleConfig = SDXL_SCHEDULE,
+    dtype=jnp.bfloat16,
+) -> PEAModels:
+    _, text_fn = make_text_encoder_fn(family, text_cfg, dtype)
+    return PEAModels(
+        text_encoder_fn=text_fn,
+        adapter=PEAAdapter(adapter_cfg, dtype=dtype),
+        unet=UNet2DCondition(unet_cfg, dtype=dtype),
+        vae=AutoencoderKL(vae_cfg, dtype=jnp.float32),
+        schedule=schedule,
+        vae_scaling=vae_cfg.scaling_factor,
+    )
+
+
+def init_params(models: PEAModels, family: str, text_cfg, rng,
+                seq_len: int = 16) -> Dict[str, Any]:
+    """Random-init params for tests/benchmarks (real deployments convert
+    torch checkpoints via checkpoints.torch_convert)."""
+    enc, _ = make_text_encoder_fn(family, text_cfg)
+    ids = jnp.zeros((1, seq_len), jnp.int32)
+    k = jax.random.split(rng, 5)
+    if family == "mul_zh":
+        text_params = {
+            "mul": enc[0].init(k[0], ids),
+            "zh": enc[1].init(k[4], ids),
+        }
+        hs_dim = text_cfg[0].hidden_size + text_cfg[1].hidden_size
+    else:
+        text_params = enc.init(k[0], ids)
+        hs_dim = getattr(text_cfg, "hidden_size", None) or text_cfg.d_model
+    adapter_params = models.adapter.init(
+        k[1], jnp.zeros((1, seq_len, hs_dim)))
+    ucfg = models.unet.config
+    added = None
+    if ucfg.addition_embed_type == "text_time":
+        pooled = ucfg.projection_class_embeddings_input_dim - 6 * ucfg.addition_time_embed_dim
+        added = {"text_embeds": jnp.zeros((1, pooled)),
+                 "time_ids": jnp.zeros((1, 6))}
+    unet_params = models.unet.init(
+        k[2], jnp.zeros((1, 8, 8, ucfg.in_channels)), jnp.array([0]),
+        jnp.zeros((1, seq_len, ucfg.cross_attention_dim)), added)
+    vae_params = models.vae.init(
+        {"params": k[3]}, jnp.zeros((1, 32, 32, 3)), k[3])
+    return {"text": text_params, "adapter": adapter_params,
+            "unet": unet_params, "vae": vae_params}

@@ -1,0 +1,99 @@
+"""End-to-end pipeline tests on tiny configs: SD1.5 and SDXL t2i produce
+finite images of the right shape with one compiled program; LCM few-step path
+(guidance off) works; different seeds give different images."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pea_diffusion_tpu.configs.adapter import AdapterConfig
+from pea_diffusion_tpu.configs.text_encoder import BERT_TINY
+from pea_diffusion_tpu.configs.unet import SD15_UNET_TINY, SDXL_UNET_TINY, VAE_TINY
+from pea_diffusion_tpu.pipelines.factory import build_models, init_params
+from pea_diffusion_tpu.pipelines.text2image import generate_sd, generate_sdxl
+from pea_diffusion_tpu.schedulers import SD15_SCHEDULE
+
+B, T = 2, 12
+
+
+@pytest.fixture(scope="module")
+def sd_setup():
+    adapter_cfg = AdapterConfig(64, (96, 96, SD15_UNET_TINY.cross_attention_dim))
+    models = build_models(
+        family="chinese_clip", text_cfg=BERT_TINY, adapter_cfg=adapter_cfg,
+        unet_cfg=SD15_UNET_TINY, vae_cfg=VAE_TINY, schedule=SD15_SCHEDULE,
+        dtype=jnp.float32)
+    params = init_params(models, "chinese_clip", BERT_TINY,
+                         jax.random.PRNGKey(0), seq_len=T)
+    return models, params
+
+
+@pytest.fixture(scope="module")
+def sdxl_setup():
+    pooled = SDXL_UNET_TINY.projection_class_embeddings_input_dim - 6 * SDXL_UNET_TINY.addition_time_embed_dim
+    adapter_cfg = AdapterConfig(
+        64, (96, 96, pooled), head_dim=SDXL_UNET_TINY.cross_attention_dim)
+    models = build_models(
+        family="chinese_clip", text_cfg=BERT_TINY, adapter_cfg=adapter_cfg,
+        unet_cfg=SDXL_UNET_TINY, vae_cfg=VAE_TINY, dtype=jnp.float32)
+    params = init_params(models, "chinese_clip", BERT_TINY,
+                         jax.random.PRNGKey(1), seq_len=T)
+    return models, params
+
+
+def _ids(seed):
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(4, BERT_TINY.vocab_size, (B, T))
+    return jnp.asarray(ids), jnp.asarray(np.full_like(ids, 4))
+
+
+def test_sd_t2i_end_to_end(sd_setup):
+    models, params = sd_setup
+    ids, uncond = _ids(0)
+    # VAE_TINY has 2 blocks -> x4 spatial; size 32 -> latents 4x4... use /8
+    img = generate_sd(models, params, ids, uncond, jax.random.PRNGKey(0),
+                      height=64, width=64, num_steps=4)
+    # 2 VAE blocks -> one upsample: latent 8x8 -> 16x16 image
+    assert img.shape == (B, 16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    assert (np.asarray(img) >= 0).all() and (np.asarray(img) <= 1).all()
+
+
+def test_sd_seeds_differ(sd_setup):
+    models, params = sd_setup
+    ids, uncond = _ids(1)
+    a = generate_sd(models, params, ids, uncond, jax.random.PRNGKey(0),
+                    height=64, width=64, num_steps=4)
+    b = generate_sd(models, params, ids, uncond, jax.random.PRNGKey(7),
+                    height=64, width=64, num_steps=4)
+    assert float(jnp.max(jnp.abs(a - b))) > 1e-4
+
+
+@pytest.mark.parametrize("sampler", ["dpm++", "ddim", "euler"])
+def test_sd_samplers(sd_setup, sampler):
+    models, params = sd_setup
+    ids, uncond = _ids(2)
+    img = generate_sd(models, params, ids, uncond, jax.random.PRNGKey(0),
+                      sampler_name=sampler, height=64, width=64, num_steps=4)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_sdxl_t2i_with_cfg(sdxl_setup):
+    models, params = sdxl_setup
+    ids, uncond = _ids(3)
+    img = generate_sdxl(models, params, ids, uncond, jax.random.PRNGKey(0),
+                        height=64, width=64, num_steps=4,
+                        guidance_rescale=0.7)
+    assert img.shape == (B, 16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()
+
+
+def test_sdxl_lcm_no_cfg(sdxl_setup):
+    """LCM path: 5 steps, guidance 0 (tests/test_sdxl_zh_lcm.py:334-336)."""
+    models, params = sdxl_setup
+    ids, uncond = _ids(4)
+    img = generate_sdxl(models, params, ids, uncond, jax.random.PRNGKey(0),
+                        sampler_name="lcm", height=64, width=64, num_steps=5,
+                        guidance_scale=0.0)
+    assert img.shape == (B, 16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()
