@@ -1,0 +1,108 @@
+"""Headline benchmark: SDXL-base PEA inference, 1024x1024, DDIM-30, CFG 7.5.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Full production-shape stack on one chip: Chinese-CLIP RoBERTa-large text
+tower -> 11.5M PEA adapter -> SDXL UNet (2.57B params, bf16, Pallas flash
+self-attention) -> fp32 SDXL VAE decode. Random weights (throughput is
+weight-value independent). The reference publishes no numbers (BASELINE.md);
+`vs_baseline` is measured against the commonly reported A100-80G fp16
+diffusers operating point for SDXL-base 30-step 1024^2 inference
+(~0.41 img/s, i.e. ~2.4 s/image) as the closest GPU equivalent of
+tests/test_sdxl_zh.py:303-306,460 (batch 1 per call).
+"""
+import argparse
+import json
+import time
+
+A100_REFERENCE_IMG_PER_S = 0.41
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--sampler", default="ddim")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny config smoke mode")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pea_diffusion_tpu.configs.adapter import ADAPTER_PRESETS, AdapterConfig
+    from pea_diffusion_tpu.configs.text_encoder import (
+        BERT_TINY, CHINESE_CLIP_LARGE)
+    from pea_diffusion_tpu.configs.unet import (
+        SDXL_UNET, SDXL_UNET_TINY, SDXL_VAE, VAE_TINY)
+    from pea_diffusion_tpu.pipelines.factory import build_models, init_params
+    from pea_diffusion_tpu.pipelines.text2image import generate_sdxl
+
+    if args.quick:
+        text_cfg, unet_cfg, vae_cfg = BERT_TINY, SDXL_UNET_TINY, VAE_TINY
+        pooled = unet_cfg.projection_class_embeddings_input_dim - 6 * unet_cfg.addition_time_embed_dim
+        adapter_cfg = AdapterConfig(text_cfg.hidden_size, (96, pooled),
+                                    head_dim=unet_cfg.cross_attention_dim)
+        size = 128
+    else:
+        text_cfg, unet_cfg, vae_cfg = CHINESE_CLIP_LARGE, SDXL_UNET, SDXL_VAE
+        adapter_cfg = ADAPTER_PRESETS["sdxl_chinese_clip"]
+        size = args.size
+
+    models = build_models(
+        family="chinese_clip", text_cfg=text_cfg, adapter_cfg=adapter_cfg,
+        unet_cfg=unet_cfg, vae_cfg=vae_cfg, dtype=jnp.bfloat16)
+    params = init_params(models, "chinese_clip", text_cfg,
+                         jax.random.PRNGKey(0), seq_len=52)
+    # weights in bf16 for the big towers (frozen deployment dtype)
+    params = {
+        k: (jax.tree.map(lambda x: x.astype(jnp.bfloat16), v)
+            if k in ("unet", "text") else v)
+        for k, v in params.items()
+    }
+
+    B, T = args.batch, 52  # Chinese-CLIP context length
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4,
+                             text_cfg.vocab_size)
+    uncond = jnp.full((B, T), 4, jnp.int32)
+
+    def run(seed):
+        img = generate_sdxl(models, params, ids, uncond,
+                            jax.random.PRNGKey(seed),
+                            sampler_name=args.sampler, height=size,
+                            width=size, num_steps=args.steps,
+                            guidance_scale=7.5)
+        img.block_until_ready()
+        return img
+
+    t0 = time.time()
+    run(0)
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.time()
+        run(i + 1)
+        times.append(time.time() - t0)
+    dt = min(times)
+    img_per_s = B / dt
+
+    print(json.dumps({
+        "metric": f"SDXL {size}^2 images/sec/chip ({args.sampler.upper()}-{args.steps}, CFG)",
+        "value": round(img_per_s, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_s / A100_REFERENCE_IMG_PER_S, 3),
+        "detail": {
+            "seconds_per_image": round(dt / B, 3),
+            "compile_seconds": round(compile_s, 1),
+            "batch": B,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
