@@ -1,0 +1,71 @@
+"""Weighted same-bucket batching (utils/custom_multiplexer.py:21-175 +
+the mydemux buffer-pressure demultiplexer).
+
+Re-designed for a host-thread pipeline: one bounded deque per bucket; the
+producer routes samples by bucket_id; the consumer picks a bucket by its
+sampling probability and emits `batch_size` consecutive samples from that
+bucket — so every batch is single-bucket (static XLA shapes, one jit cache
+entry per bucket). Buffer pressure is relieved by draining the largest
+bucket (the reference's `_find_next` override) instead of blocking, trading
+strict weighting for liveness exactly like the reference.
+"""
+from __future__ import annotations
+
+import random
+from collections import deque
+from typing import Dict, Iterable, Iterator, List, Sequence
+
+
+class BucketBatcher:
+    def __init__(
+        self,
+        probs: Sequence[float],
+        batch_size: int,
+        *,
+        buffer_per_bucket: int = 256,
+        max_total_buffer: int = 1000,
+        seed: int = 0,
+    ):
+        self.probs = list(probs)
+        self.batch_size = batch_size
+        self.buffers: List[deque] = [deque() for _ in probs]
+        self.buffer_per_bucket = buffer_per_bucket
+        self.max_total_buffer = max_total_buffer
+        self.rng = random.Random(seed)
+
+    def _total(self) -> int:
+        return sum(len(b) for b in self.buffers)
+
+    def _ready(self) -> List[int]:
+        return [i for i, b in enumerate(self.buffers)
+                if len(b) >= self.batch_size]
+
+    def _pick(self, ready: List[int]) -> int:
+        w = [self.probs[i] for i in ready]
+        return self.rng.choices(ready, weights=w, k=1)[0]
+
+    def _pop_batch(self, i: int) -> List:
+        return [self.buffers[i].popleft() for _ in range(self.batch_size)]
+
+    def __call__(self, samples: Iterable[dict]) -> Iterator[List[dict]]:
+        for s in samples:
+            self.buffers[s["bucket_id"]].append(s)
+            # emit when the weighted choice has a full batch
+            ready = self._ready()
+            if ready:
+                yield self._pop_batch(self._pick(ready))
+            elif self._total() >= self.max_total_buffer:
+                # buffer pressure: drain the largest bucket even if the
+                # weighted pick isn't ready (mydemux._find_next semantics)
+                largest = max(range(len(self.buffers)),
+                              key=lambda i: len(self.buffers[i]))
+                if len(self.buffers[largest]) >= self.batch_size:
+                    yield self._pop_batch(largest)
+                else:  # pathological: drop oldest to keep liveness
+                    self.buffers[largest].popleft()
+        # drain remaining full batches at end of stream (:104-111)
+        while True:
+            ready = self._ready()
+            if not ready:
+                break
+            yield self._pop_batch(self._pick(ready))

@@ -1,0 +1,173 @@
+"""End-to-end input pipeline: shards -> decode -> filter -> bucket ->
+preprocess -> same-bucket batches -> device prefetch.
+
+Host-side (threads + PIL, the C-backed decode stays on CPU per SURVEY.md §2c)
+feeding the TPU through a double-buffered prefetcher. Batch layout matches
+the KD train step contract (train/kd.py): NHWC pixel tensors in [-1,1],
+student + teacher token ids, SDXL time_ids, zh_or_not tags.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import random
+import threading
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..configs.train import DataConfig
+from . import buckets as B
+from . import captions as C
+from .multiplexer import BucketBatcher
+from .wds_reader import expand_urls, sample_stream, split_by_process
+
+TokenizeFn = Callable[[List[str]], np.ndarray]  # texts -> [B, T] int ids
+
+
+@dataclasses.dataclass
+class Preprocessor:
+    """verify_keys + preproc (utils/custom_dataset_sdxl.py:53-88,282-381)."""
+
+    cfg: DataConfig
+    tokenize: TokenizeFn
+    center_crop: bool = False
+    seed: int = 0
+
+    def __post_init__(self):
+        self.rng = random.Random(self.seed)
+
+    def __call__(self, sample: dict) -> Optional[dict]:
+        if "json" not in sample or "jpg" not in sample:
+            return None
+        img, meta = sample["jpg"], sample["json"]
+        w, h = img.size
+        if not C.passes_quality(meta, w, h, min_area=self.cfg.min_area,
+                                min_aesthetic=self.cfg.min_aesthetic,
+                                max_watermark=self.cfg.max_watermark):
+            return None
+        bucket_id = B.assign_bucket(w, h)
+        img, (top, left) = B.resize_and_crop(img, bucket_id, self.center_crop,
+                                             self.rng)
+        prompt, zh_or_not, caption_en = C.route_caption(meta)
+        return {
+            "pixel_values": B.normalize_to_tensor(img),
+            "original_size": (w, h),
+            "crops_coords_top_left": (top, left),
+            "bucket_id": bucket_id,
+            "prompt": prompt,
+            "caption_en": caption_en,
+            "zh_or_not": zh_or_not,
+        }
+
+
+def collate(
+    examples: List[dict],
+    tokenize: TokenizeFn,
+    teacher_tokenize: Optional[Sequence[TokenizeFn]] = None,
+) -> Dict[str, np.ndarray]:
+    """Same-bucket batch -> arrays (collate_fn,
+    utils/custom_dataset_sdxl.py:384-409). Student ids are tokenized here
+    (host), teacher ids too when teacher tokenizers are provided (the
+    reference tokenizes teacher text on-device per step; host-side is
+    strictly cheaper on TPU).
+
+    SDXL time_ids use the framework-wide (h, w, top, left, h, w) convention;
+    the reference mixes PIL (w,h) with crop (y,x) — see SURVEY.md §2a."""
+    n = len(examples)
+    prompts = [e["prompt"] for e in examples]
+    bucket_id = examples[0]["bucket_id"]
+    tw, th = B.BUCKETS[bucket_id]
+    batch: Dict[str, np.ndarray] = {
+        "pixel_values": np.stack([e["pixel_values"] for e in examples]),
+        "original_size": np.array(
+            [(e["original_size"][1], e["original_size"][0]) for e in examples],
+            np.float32),
+        "crops_coords_top_left": np.array(
+            [e["crops_coords_top_left"] for e in examples], np.float32),
+        "bucket_id": np.int32(bucket_id),
+        "zh_or_not": np.array([e["zh_or_not"] for e in examples], np.float32),
+        "input_ids": tokenize(prompts),
+        "input_ids_uncond": tokenize([""] * n),
+        "prompts": prompts,
+        "texts_en": [e["caption_en"] for e in examples],
+    }
+    batch["time_ids"] = np.concatenate(
+        [batch["original_size"], batch["crops_coords_top_left"],
+         np.tile(np.array([[th, tw]], np.float32), (n, 1))], axis=1)
+    if teacher_tokenize is not None:
+        for i, tok in enumerate(teacher_tokenize, start=1):
+            batch[f"teacher_ids_{i}"] = tok(batch["texts_en"])
+            batch[f"teacher_uncond_ids_{i}"] = tok([""] * n)
+    return batch
+
+
+def make_train_iterator(
+    cfg: DataConfig,
+    tokenize: TokenizeFn,
+    teacher_tokenize: Optional[Sequence[TokenizeFn]] = None,
+    *,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+    seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Shard-partitioned, bucketed, batched stream of train batches."""
+    shards = split_by_process(expand_urls(list(cfg.urls)), process_index,
+                              process_count)
+    if not shards:
+        raise ValueError("no shards for this process")
+    pre = Preprocessor(cfg, tokenize, cfg.center_crop, seed)
+    stream = sample_stream(shards, shuffle_buffer=cfg.shuffle_buffer,
+                           seed=seed, resample=cfg.resample_shards)
+    processed = (p for s in stream if (p := pre(s)) is not None)
+    batcher = BucketBatcher(B.BUCKET_PROBS, cfg.batch_size, seed=seed)
+    for batch in batcher(processed):
+        yield collate(batch, tokenize, teacher_tokenize)
+
+
+class DevicePrefetcher:
+    """Background thread moving host batches to device, double-buffered
+    (the DataLoaderX/BackgroundGenerator analog, utils/custom_dataset.py:216)."""
+
+    def __init__(self, it: Iterable, put_fn: Callable, depth: int = 2):
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self.put_fn = put_fn
+
+        def worker():
+            try:
+                for item in it:
+                    self.q.put(self.put_fn(item))
+            finally:
+                self.q.put(self._sentinel)
+
+        self.thread = threading.Thread(target=worker, daemon=True)
+        self.thread.start()
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is self._sentinel:
+                return
+            yield item
+
+
+def prefetch_to_device(it, mesh=None, depth: int = 2):
+    """Wrap a host batch iterator with async device transfer; with a mesh the
+    batch shards over the `data` axis."""
+    import jax
+
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
+        sharding = batch_sharding(mesh)
+    else:
+        sharding = jax.devices()[0]
+
+    def put(batch):
+        arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        rest = {k: v for k, v in batch.items() if not isinstance(v, np.ndarray)}
+        out = jax.device_put(arrays, sharding)
+        out.update(rest)
+        return out
+
+    return DevicePrefetcher(it, put, depth)

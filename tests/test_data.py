@@ -1,0 +1,161 @@
+"""Data-layer tests against synthetic webdataset shards: brace expansion,
+tar streaming with corrupt-member skip, quality filters, bucket assignment /
+crop math, caption routing + zh tagging, same-bucket weighted batching, and
+the full train iterator -> KD batch contract."""
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pea_diffusion_tpu.configs.train import DataConfig
+from pea_diffusion_tpu.data import buckets as B
+from pea_diffusion_tpu.data import captions as C
+from pea_diffusion_tpu.data.multiplexer import BucketBatcher
+from pea_diffusion_tpu.data.pipeline import collate, make_train_iterator
+from pea_diffusion_tpu.data.wds_reader import (
+    braceexpand,
+    expand_urls,
+    iter_tar_samples,
+    split_by_process,
+)
+
+
+def _make_shard(path, samples):
+    with tarfile.open(path, "w") as tf:
+        for key, (size, meta) in samples.items():
+            img = Image.new("RGB", size, (128, 64, 32))
+            buf = io.BytesIO()
+            img.save(buf, "JPEG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"{key}.jpg")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            j = json.dumps(meta).encode()
+            info = tarfile.TarInfo(f"{key}.json")
+            info.size = len(j)
+            tf.addfile(info, io.BytesIO(j))
+
+
+@pytest.fixture(scope="module")
+def shards(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wds")
+    metas = [
+        {"caption_ori": "一只可爱的猫", "caption_en": "a cute cat",
+         "watermark": 0.1, "aesthetic_score": 7.0},
+        {"caption_zh": "一条狗", "caption_en": "a dog",
+         "watermark": 0.1, "aesthetic_score": 7.0},
+        {"caption_ori_zh": "風景畫", "caption_en": "landscape",
+         "watermark": 0.1, "aesthetic_score": 7.0},
+        # filtered out: too small
+        {"caption_ori": "小图太小", "watermark": 0.1, "aesthetic_score": 9.0},
+        # filtered out: watermark
+        {"caption_zh": "水印", "caption_en": "wm", "watermark": 0.9,
+         "aesthetic_score": 9.0},
+    ]
+    sizes = [(704, 704), (896, 640), (640, 1000), (100, 100), (800, 800)]
+    for s in range(2):
+        _make_shard(
+            d / f"train-0000{s}.tar",
+            {f"s{s}_{i:03d}": (sizes[i % 5], metas[i % 5]) for i in range(25)},
+        )
+    return str(d) + "/train-{00000..00001}.tar"
+
+
+def test_braceexpand_and_urls():
+    assert braceexpand("a-{00..02}.tar") == ["a-00.tar", "a-01.tar", "a-02.tar"]
+    urls = expand_urls("x-{0..1}.tar::y-{3..4}.tar")
+    assert urls == ["x-0.tar", "x-1.tar", "y-3.tar", "y-4.tar"]
+    assert split_by_process(urls, 1, 2) == ["x-1.tar", "y-4.tar"]
+
+
+def test_tar_streaming(shards, tmp_path):
+    path = expand_urls(shards)[0]
+    samples = list(iter_tar_samples(path))
+    assert len(samples) == 25
+    assert {"jpg", "json"} <= set(samples[0].keys() - {"__key__"})
+    # corrupt shard: truncated file -> skipped without raising
+    bad = tmp_path / "bad.tar"
+    bad.write_bytes(b"not a tar at all")
+    assert list(iter_tar_samples(str(bad))) == []
+
+
+def test_bucket_assignment_and_crop():
+    assert B.assign_bucket(640, 640) == 4
+    assert B.assign_bucket(900, 450) == 8
+    assert B.assign_bucket(448, 896) == 0
+    img = Image.new("RGB", (1000, 500))
+    out, (top, left) = B.resize_and_crop(img, B.assign_bucket(1000, 500),
+                                         center=True, rng=None)
+    assert tuple(out.size) == tuple(B.BUCKETS[B.assign_bucket(1000, 500)])
+    arr = B.normalize_to_tensor(out)
+    assert arr.min() >= -1 and arr.max() <= 1
+
+
+def test_caption_routing():
+    p, zh, en = C.route_caption(
+        {"caption_ori": "這是一隻貓 hello!", "caption_en": "a cat"})
+    assert zh == 1 and en == "a cat"
+    assert "hello" not in p and "!" in p  # non-CJK letters stripped, punct kept
+    p, zh, _ = C.route_caption({"caption_zh": "机器翻译"})
+    assert zh == 0 and p == "机器翻译"
+    p, zh, _ = C.route_caption({"other": 1})
+    assert p == "" and zh == 0
+    assert C.to_simplified("風景畫")[0] == "风"
+
+
+def test_quality_filter():
+    assert C.passes_quality({"watermark": 0.2, "aesthetic_score": 7,
+                             "caption_zh": "x"}, 800, 800)
+    assert not C.passes_quality({"watermark": 0.9, "aesthetic_score": 7,
+                                 "caption_zh": "x"}, 800, 800)
+    assert not C.passes_quality({"watermark": 0.1, "aesthetic_score": 3,
+                                 "caption_zh": "x"}, 800, 800)
+    # Chinese-native source: only area matters
+    assert C.passes_quality({"watermark": 0.9, "caption_ori": "猫"}, 800, 800)
+    assert not C.passes_quality({"watermark": 0.1, "caption_ori": "猫"}, 100, 100)
+    # no watermark key: always passes (pre-filtered source)
+    assert C.passes_quality({}, 10, 10)
+
+
+def test_bucket_batcher_same_bucket():
+    rng = np.random.RandomState(0)
+    samples = [{"bucket_id": int(b), "i": i}
+               for i, b in enumerate(rng.choice(9, 500, p=B.BUCKET_PROBS))]
+    batches = list(BucketBatcher(B.BUCKET_PROBS, 8, seed=0)(iter(samples)))
+    assert len(batches) >= 40
+    for batch in batches:
+        assert len(batch) == 8
+        assert len({s["bucket_id"] for s in batch}) == 1
+
+
+def _tok(max_len=12, vocab=100):
+    def fn(texts):
+        out = np.zeros((len(texts), max_len), np.int32)
+        for i, t in enumerate(texts):
+            ids = [(hash(ch) % (vocab - 5)) + 5 for ch in t[:max_len]]
+            out[i, :len(ids)] = ids
+        return out
+    return fn
+
+
+def test_full_train_iterator(shards):
+    cfg = DataConfig(urls=(shards,), batch_size=4, min_area=500 * 500)
+    it = make_train_iterator(cfg, _tok(), [_tok(16), _tok(16)], seed=0,
+                             process_index=0, process_count=1)
+    batch = next(it)
+    n = 4
+    assert batch["pixel_values"].shape[0] == n
+    th, tw = batch["pixel_values"].shape[1:3]
+    assert [tw, th] == B.BUCKETS[int(batch["bucket_id"])]
+    assert batch["input_ids"].shape == (n, 12)
+    assert batch["teacher_ids_1"].shape == (n, 16)
+    assert batch["time_ids"].shape == (n, 6)
+    assert set(np.unique(batch["zh_or_not"])) <= {0.0, 1.0}
+    # filtered samples (tiny/watermarked) never appear: every original_size
+    # passes the area filter
+    areas = batch["original_size"][:, 0] * batch["original_size"][:, 1]
+    assert (areas >= 500 * 500).all()
