@@ -1,0 +1,114 @@
+"""SDXL ControlNet pipeline with PEA prompt encoding
+(reference: tests/test_sdxl_zh_controlnet.py:350-584).
+
+Covers: control-image preprocessing (CFG duplication), per-step
+`controlnet_keep` schedule (control_guidance_start/end windows, :456-463,
+:502-508), guess mode (conditional-half-only control with zeroed uncond
+residuals, :488-496,:521-526), and residual injection into the UNet.
+
+The per-step keep-schedule is a precomputed [S] table so the whole loop stays
+one XLA program.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.controlnet import ControlNet
+from .sampling import make_sampler
+from .text2image import (
+    PEAModels,
+    Params,
+    cfg_combine,
+    decode_latents,
+    denoise_loop,
+    encode_prompt_sdxl,
+    make_add_time_ids,
+)
+
+
+def prepare_control_image(image: np.ndarray, height: int, width: int,
+                          batch: int) -> jnp.ndarray:
+    """HWC uint8/float canny map -> [B,H,W,3] float in [0,1]
+    (prepare_image, tests/test_sdxl_zh_controlnet.py:320-348)."""
+    arr = np.asarray(image, np.float32)
+    if arr.max() > 1.5:
+        arr = arr / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None].repeat(3, -1)
+    from PIL import Image as PILImage
+    pil = PILImage.fromarray((arr * 255).astype(np.uint8))
+    arr = np.asarray(pil.resize((width, height), resample=2), np.float32) / 255.0
+    return jnp.tile(jnp.asarray(arr)[None], (batch, 1, 1, 1))
+
+
+def keep_schedule(num_steps: int, start: float, end: float) -> jnp.ndarray:
+    """[S] control weights: 1.0 inside the (start, end) fraction window
+    (controlnet_keep, tests/test_sdxl_zh_controlnet.py:456-463)."""
+    idx = np.arange(num_steps, dtype=np.float32)
+    frac = idx / max(num_steps - 1, 1)
+    return jnp.asarray(((frac >= start) & (frac <= end)).astype(np.float32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("models", "controlnet", "sampler_name", "height", "width",
+                     "num_steps", "guidance_scale", "guidance_rescale",
+                     "guess_mode", "control_guidance_start",
+                     "control_guidance_end"),
+)
+def generate_sdxl_controlnet(
+    models: PEAModels, controlnet: ControlNet, params: Params,
+    controlnet_params, ids, uncond_ids, control_image, rng, *,
+    sampler_name="dpm++", height=1024, width=1024, num_steps=30,
+    guidance_scale=7.5, guidance_rescale=0.0,
+    controlnet_conditioning_scale=1.0, guess_mode=False,
+    control_guidance_start=0.0, control_guidance_end=1.0,
+):
+    context, pooled = encode_prompt_sdxl(models, params, ids, uncond_ids)
+    b = ids.shape[0]
+    sampler = make_sampler(sampler_name, models.schedule, num_steps)
+    noise = jax.random.normal(rng, (b, height // 8, width // 8, 4), jnp.float32)
+    time_ids = make_add_time_ids((height, width), (0, 0), (height, width), 2 * b)
+    added = {"text_embeds": pooled, "time_ids": time_ids}
+    keep = keep_schedule(num_steps, control_guidance_start, control_guidance_end)
+    ctx_c, pooled_c = context[b:], pooled[b:]
+    added_c = {"text_embeds": pooled_c, "time_ids": time_ids[b:]}
+
+    def eps_fn(x, i):
+        t = sampler.timesteps[i]
+        scale = keep[i] * controlnet_conditioning_scale
+        if guess_mode:
+            # control from the conditional half only; uncond gets zeros
+            down_c, mid_c = controlnet.apply(
+                controlnet_params, x, jnp.broadcast_to(t, (b,)), ctx_c,
+                control_image, scale, added_c)
+            down = tuple(jnp.concatenate([jnp.zeros_like(d), d]) for d in down_c)
+            mid = jnp.concatenate([jnp.zeros_like(mid_c), mid_c])
+        else:
+            x2 = jnp.concatenate([x, x], axis=0)
+            cimg2 = jnp.concatenate([control_image, control_image], axis=0)
+            down, mid = controlnet.apply(
+                controlnet_params, x2, jnp.broadcast_to(t, (2 * b,)), context,
+                cimg2, scale, added)
+        x2 = jnp.concatenate([x, x], axis=0)
+        out = models.unet.apply(
+            params["unet"], x2, jnp.broadcast_to(t, (2 * b,)), context, added,
+            down_block_additional_residuals=down,
+            mid_block_additional_residual=mid)
+        return cfg_combine(out.astype(jnp.float32), guidance_scale,
+                           guidance_rescale)
+
+    latents = denoise_loop(eps_fn, sampler, noise)
+    return decode_latents(models, params["vae"], latents)
+
+
+def canny_edges(image: np.ndarray, low: int = 100, high: int = 200) -> np.ndarray:
+    """Canny preprocessing (tests/test_sdxl_zh_controlnet.py:609-614)."""
+    import cv2
+    edges = cv2.Canny(np.asarray(image, np.uint8), low, high)
+    return edges[:, :, None].repeat(3, axis=2)
