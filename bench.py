@@ -37,7 +37,7 @@ def main():
         BERT_TINY, CHINESE_CLIP_LARGE)
     from pea_diffusion_tpu.configs.unet import (
         SDXL_UNET, SDXL_UNET_TINY, SDXL_VAE, VAE_TINY)
-    from pea_diffusion_tpu.pipelines.factory import build_models, init_params
+    from pea_diffusion_tpu.pipelines.factory import build_models, init_params_host
     from pea_diffusion_tpu.pipelines.text2image import generate_sdxl
 
     if args.quick:
@@ -54,14 +54,16 @@ def main():
     models = build_models(
         family="chinese_clip", text_cfg=text_cfg, adapter_cfg=adapter_cfg,
         unet_cfg=unet_cfg, vae_cfg=vae_cfg, dtype=jnp.bfloat16)
-    params = init_params(models, "chinese_clip", text_cfg,
-                         jax.random.PRNGKey(0), seq_len=52)
-    # weights in bf16 for the big towers (frozen deployment dtype)
+    # host-side init (numpy, no device compiles), bf16 big towers, then one
+    # device_put — init-time remote compiles would otherwise dominate
+    import numpy as np
+    params = init_params_host(models, "chinese_clip", text_cfg, seq_len=52)
     params = {
-        k: (jax.tree.map(lambda x: x.astype(jnp.bfloat16), v)
-            if k in ("unet", "text") else v)
+        k: (jax.tree.map(lambda x: x.astype(np.float32 if k in ("vae", "adapter")
+                                            else jnp.bfloat16), v))
         for k, v in params.items()
     }
+    params = jax.device_put(params, jax.devices()[0])
 
     B, T = args.batch, 52  # Chinese-CLIP context length
     ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4,
@@ -74,8 +76,11 @@ def main():
                             sampler_name=args.sampler, height=size,
                             width=size, num_steps=args.steps,
                             guidance_scale=7.5)
-        img.block_until_ready()
-        return img
+        # force full execution + host sync: on the axon relay platform
+        # block_until_ready() returns before execution completes, so an
+        # honest timer must pull a value to the host.
+        checksum = float(jax.device_get(img.mean()))
+        return checksum
 
     t0 = time.time()
     run(0)

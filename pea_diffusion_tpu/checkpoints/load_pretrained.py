@@ -1,0 +1,123 @@
+"""Assemble a runnable PEA deployment from on-disk checkpoints:
+
+- diffusers model dir (SDXL/SD1.5/SSD-1B layout: unet/ vae/ text_encoder*/
+  with config.json + *.safetensors or *.bin), the `from_pretrained` analog
+  of train_sdxl_zh.py:137-151;
+- a student text-encoder dir (transformers layout: Chinese-CLIP / XLM-R /
+  mT5);
+- a PEA adapter checkpoint (`proj_*/pytorch_model.bin` or safetensors);
+- optional LoRA safetensors fused into the UNet before conversion.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..configs.unet import UNetConfig, VAEConfig
+from . import torch_convert as tc
+from .lora import merge_lora_into_state_dict
+from .safetensors_io import load_safetensors
+
+
+def load_state_dict(directory: str) -> Dict[str, np.ndarray]:
+    """Load a (possibly sharded) torch/safetensors state dict from a dir."""
+    files = sorted(os.listdir(directory))
+    st = [f for f in files if f.endswith(".safetensors")]
+    if st:
+        out: Dict[str, np.ndarray] = {}
+        for f in st:
+            out.update(load_safetensors(os.path.join(directory, f)))
+        return out
+    bins = [f for f in files if f.endswith(".bin") or f.endswith(".pt")]
+    if bins:
+        import torch
+
+        out = {}
+        for f in bins:
+            sd = torch.load(os.path.join(directory, f), map_location="cpu",
+                            weights_only=True)
+            out.update({k: v.float().numpy() for k, v in sd.items()})
+        return out
+    raise FileNotFoundError(f"no weights in {directory}")
+
+
+def load_unet(model_dir: str, lora_paths=(), lora_scales=(), dtype=None):
+    """model_dir/unet -> (UNetConfig, flax params); LoRAs fused first
+    (the load_lora_weights+fuse_lora path, tests/test_sdxl_zh_lcm.py:181-182)."""
+    d = os.path.join(model_dir, "unet")
+    cfg = UNetConfig.from_diffusers_config(d)
+    sd = load_state_dict(d)
+    for path, scale in zip(lora_paths,
+                           list(lora_scales) + [1.0] * len(lora_paths)):
+        lora_sd = load_safetensors(path)
+        sd = merge_lora_into_state_dict(sd, lora_sd, scale, component="unet")
+    params = tc.convert_unet(sd, cfg)
+    if dtype is not None:
+        import jax
+
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+    return cfg, params
+
+
+def load_vae(model_dir: str):
+    d = os.path.join(model_dir, "vae")
+    cfg = VAEConfig.from_diffusers_config(d)
+    return cfg, tc.convert_vae(load_state_dict(d), cfg)
+
+
+def load_clip_text(directory: str, with_projection: bool = False):
+    """transformers CLIPText{Model,ModelWithProjection} dir -> (cfg, params)."""
+    from ..configs.text_encoder import CLIPTextConfig
+
+    with open(os.path.join(directory, "config.json")) as f:
+        c = json.load(f)
+    cfg = CLIPTextConfig(
+        vocab_size=c["vocab_size"], hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"], num_heads=c["num_attention_heads"],
+        intermediate_size=c["intermediate_size"],
+        max_position_embeddings=c["max_position_embeddings"],
+        hidden_act=c.get("hidden_act", "quick_gelu"),
+        eos_token_id=c.get("eos_token_id", 49407),
+        projection_dim=c.get("projection_dim") if with_projection else None,
+    )
+    return cfg, tc.convert_clip_text(load_state_dict(directory), cfg.num_layers)
+
+
+def load_bert_text(directory: str, roberta: Optional[bool] = None):
+    """transformers Bert/XLM-R/Chinese-CLIP-text dir -> (cfg, params)."""
+    from ..configs.text_encoder import BertTextConfig
+
+    with open(os.path.join(directory, "config.json")) as f:
+        c = json.load(f)
+    if "text_config" in c:  # ChineseCLIPConfig wrapper
+        c = c["text_config"]
+    if roberta is None:
+        roberta = "roberta" in c.get("model_type", "")
+    cfg = BertTextConfig(
+        vocab_size=c["vocab_size"], hidden_size=c["hidden_size"],
+        num_layers=c["num_hidden_layers"], num_heads=c["num_attention_heads"],
+        intermediate_size=c["intermediate_size"],
+        max_position_embeddings=c["max_position_embeddings"],
+        type_vocab_size=c.get("type_vocab_size", 2),
+        pad_token_id=c.get("pad_token_id", 0),
+        layer_norm_eps=c.get("layer_norm_eps", 1e-12),
+        roberta_position_ids=bool(roberta),
+    )
+    return cfg, tc.convert_bert_text(load_state_dict(directory), cfg.num_layers)
+
+
+def load_t5_encoder(directory: str):
+    from ..configs.text_encoder import T5Config
+
+    with open(os.path.join(directory, "config.json")) as f:
+        c = json.load(f)
+    cfg = T5Config(
+        vocab_size=c["vocab_size"], d_model=c["d_model"], d_kv=c["d_kv"],
+        d_ff=c["d_ff"], num_layers=c["num_layers"], num_heads=c["num_heads"],
+        relative_attention_num_buckets=c.get("relative_attention_num_buckets", 32),
+        relative_attention_max_distance=c.get("relative_attention_max_distance", 128),
+    )
+    return cfg, tc.convert_t5_encoder(load_state_dict(directory), cfg.num_layers)

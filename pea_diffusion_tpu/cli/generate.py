@@ -1,0 +1,152 @@
+"""Text-to-image CLI (the tests/test_sdxl_zh.py REPL analog).
+
+Real mode loads converted checkpoints from diffusers/transformers-layout
+dirs; --demo runs a tiny random-weight SDXL-architecture stack end-to-end
+(useful for smoke-testing the full path on any machine).
+
+Usage:
+  python -m pea_diffusion_tpu.cli.generate --demo --prompt "一只可爱的猫" -o out.png
+  python -m pea_diffusion_tpu.cli.generate \
+      --model-dir /path/sdxl --text-encoder-dir /path/chinese-clip \
+      --adapter /path/proj_xxx/pytorch_model.bin --prompt ... [--repl]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_demo():
+    import jax
+    import jax.numpy as jnp
+
+    from ..configs.adapter import AdapterConfig
+    from ..configs.text_encoder import BERT_TINY
+    from ..configs.unet import SDXL_UNET_TINY, VAE_TINY
+    from ..pipelines.factory import build_models, init_params
+
+    ucfg = SDXL_UNET_TINY
+    pooled = ucfg.projection_class_embeddings_input_dim - 6 * ucfg.addition_time_embed_dim
+    adapter_cfg = AdapterConfig(BERT_TINY.hidden_size, (96, pooled),
+                                head_dim=ucfg.cross_attention_dim)
+    models = build_models(family="chinese_clip", text_cfg=BERT_TINY,
+                          adapter_cfg=adapter_cfg, unet_cfg=ucfg,
+                          vae_cfg=VAE_TINY, dtype=jnp.float32)
+    params = init_params(models, "chinese_clip", BERT_TINY,
+                         jax.random.PRNGKey(0))
+
+    def tokenize(texts):
+        import numpy as np
+        out = np.full((len(texts), 16), 4, np.int32)
+        for i, t in enumerate(texts):
+            ids = [(hash(c) % (BERT_TINY.vocab_size - 5)) + 5 for c in t[:16]]
+            out[i, :len(ids)] = ids
+        return out
+
+    return models, params, tokenize, 256
+
+
+def build_real(args):
+    import jax.numpy as jnp
+
+    from ..configs.adapter import ADAPTER_PRESETS
+    from ..checkpoints.load_pretrained import (
+        load_bert_text, load_t5_encoder, load_unet, load_vae)
+    from ..checkpoints.orbax_io import import_adapter
+    from ..models.adapter import PEAAdapter
+    from ..pipelines.factory import build_models
+    from ..schedulers import SDXL_SCHEDULE
+
+    unet_cfg, unet_params = load_unet(
+        args.model_dir, lora_paths=args.lora or (),
+        lora_scales=args.lora_scale or (), dtype=jnp.bfloat16)
+    vae_cfg, vae_params = load_vae(args.model_dir)
+    if args.family == "mt5":
+        text_cfg, text_params = load_t5_encoder(args.text_encoder_dir)
+    else:
+        text_cfg, text_params = load_bert_text(args.text_encoder_dir)
+    adapter_cfg = ADAPTER_PRESETS[args.adapter_preset]
+    models = build_models(family=args.family, text_cfg=text_cfg,
+                          adapter_cfg=adapter_cfg, unet_cfg=unet_cfg,
+                          vae_cfg=vae_cfg, schedule=SDXL_SCHEDULE,
+                          dtype=jnp.bfloat16)
+    params = {
+        "text": text_params,
+        "adapter": import_adapter(args.adapter),
+        "unet": unet_params,
+        "vae": vae_params,
+    }
+
+    from transformers import AutoTokenizer
+    tok = AutoTokenizer.from_pretrained(args.text_encoder_dir)
+
+    def tokenize(texts):
+        return tok(texts, padding="max_length", max_length=args.max_length,
+                   truncation=True, return_tensors="np")["input_ids"]
+
+    return models, params, tokenize, args.size
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--demo", action="store_true")
+    ap.add_argument("--model-dir")
+    ap.add_argument("--text-encoder-dir")
+    ap.add_argument("--adapter")
+    ap.add_argument("--adapter-preset", default="sdxl_chinese_clip")
+    ap.add_argument("--family", default="chinese_clip",
+                    choices=["chinese_clip", "mul_clip", "mt5", "alt_clip"])
+    ap.add_argument("--lora", nargs="*")
+    ap.add_argument("--lora-scale", nargs="*", type=float)
+    ap.add_argument("--prompt", default="一只戴着帽子的可爱猫咪")
+    ap.add_argument("--negative-prompt", default="")
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--guidance", type=float, default=7.5)
+    ap.add_argument("--guidance-rescale", type=float, default=0.0)
+    ap.add_argument("--sampler", default="dpm++",
+                    choices=["dpm++", "ddim", "euler", "lcm"])
+    ap.add_argument("--size", type=int, default=1024)
+    ap.add_argument("--max-length", type=int, default=52)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("-o", "--output", default="out.png")
+    ap.add_argument("--repl", action="store_true",
+                    help="interactive prompt loop (reference REPL parity)")
+    args = ap.parse_args(argv)
+
+    from ..pipelines.text2image import StableDiffusionXLPEAPipeline
+
+    if args.demo:
+        models, params, tokenize, size = build_demo()
+        steps = min(args.steps, 8)
+    else:
+        for req in ("model_dir", "text_encoder_dir", "adapter"):
+            if getattr(args, req) is None:
+                ap.error(f"--{req.replace('_', '-')} required without --demo")
+        models, params, tokenize, size = build_real(args)
+        steps = args.steps
+
+    pipe = StableDiffusionXLPEAPipeline(models, params, args.sampler)
+
+    def run(prompt, negative, out_path, seed):
+        ids = tokenize([prompt])
+        uncond = tokenize([negative])
+        imgs = pipe(ids, uncond, height=size, width=size, num_steps=steps,
+                    guidance_scale=args.guidance,
+                    guidance_rescale=args.guidance_rescale, seed=seed)
+        imgs[0].save(out_path)
+        print(f"wrote {out_path}")
+
+    run(args.prompt, args.negative_prompt, args.output, args.seed)
+    if args.repl:
+        while True:
+            try:
+                prompt = input("prompt> ").strip()
+            except EOFError:
+                break
+            if not prompt:
+                break
+            run(prompt, args.negative_prompt, args.output, args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -78,8 +78,41 @@ def build_models(
     )
 
 
+def init_params_host(models: PEAModels, family: str, text_cfg,
+                     seq_len: int = 16, seed: int = 0) -> Dict[str, Any]:
+    """Random params built host-side with jax.eval_shape + numpy (NO device
+    compilation) — for benchmarks and smoke runs where init-time compiles of
+    full-size towers would dominate (the remote-compile path makes on-device
+    init of SDXL towers take minutes)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+
+    def materialize(tree):
+        def leaf(path, s):
+            name = str(path[-1].key) if hasattr(path[-1], "key") else ""
+            if name in ("scale",) or name.endswith("scale"):
+                return np.ones(s.shape, s.dtype)
+            if name == "bias":
+                return np.zeros(s.shape, s.dtype)
+            return (rng.standard_normal(s.shape) * 0.02).astype(s.dtype)
+
+        return jax.tree_util.tree_map_with_path(leaf, tree)
+
+    shapes = jax.eval_shape(
+        lambda: _init_params_impl(models, family, text_cfg,
+                                  jax.random.PRNGKey(0), seq_len))
+    return materialize(shapes)
+
+
 def init_params(models: PEAModels, family: str, text_cfg, rng,
                 seq_len: int = 16) -> Dict[str, Any]:
+    """Random-init params for tests/demos (device-side, honest initializers)."""
+    return _init_params_impl(models, family, text_cfg, rng, seq_len)
+
+
+def _init_params_impl(models: PEAModels, family: str, text_cfg, rng,
+                      seq_len: int = 16) -> Dict[str, Any]:
     """Random-init params for tests/benchmarks (real deployments convert
     torch checkpoints via checkpoints.torch_convert)."""
     enc, _ = make_text_encoder_fn(family, text_cfg)

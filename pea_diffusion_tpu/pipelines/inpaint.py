@@ -76,7 +76,8 @@ def generate_sdxl_inpaint(
     image_latents = encode_vae_image(models, params["vae"], image, k_vae1)
     masked = image * (mask < 0.5)
     masked_latents = encode_vae_image(models, params["vae"], masked, k_vae2)
-    lh, lw = height // 8, width // 8
+    # latent resolution from the VAE's actual stride (8 for SD VAEs)
+    lh, lw = image_latents.shape[1], image_latents.shape[2]
     mask_lat = jax.image.resize(mask, (b, lh, lw, 1), "nearest")
 
     noise = jax.random.normal(k_noise, image_latents.shape, jnp.float32)

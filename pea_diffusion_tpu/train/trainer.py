@@ -1,0 +1,100 @@
+"""Training driver: the Lightning `Trainer.fit` analog (SURVEY.md §3.1) —
+jitted KD step over a Mesh, device prefetch, metric logging, orbax
+checkpoint rotation + reference-format adapter export, resume.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..configs.train import TrainConfig
+from ..checkpoints.orbax_io import (
+    export_adapter,
+    make_manager,
+    restore_train_state,
+    save_train_state,
+)
+from ..parallel import mesh as pmesh
+from ..utils.metrics import MetricLogger, ProfilerWindow
+from .kd import KDModels, KDState, make_train_step
+
+ARRAY_KEYS = (
+    "pixel_values", "input_ids", "input_ids_uncond", "teacher_ids_1",
+    "teacher_ids_2", "teacher_uncond_ids_1", "teacher_uncond_ids_2",
+    "time_ids", "zh_or_not",
+)
+
+
+class KDTrainer:
+    def __init__(
+        self,
+        models: KDModels,
+        cfg: TrainConfig,
+        frozen: Dict[str, Any],
+        adapter_params,
+        mesh=None,
+        profile_window: Optional[tuple] = None,
+    ):
+        self.models, self.cfg = models, cfg
+        self.mesh = mesh or pmesh.make_mesh(cfg.mesh_shape)
+        init_fn, step_fn = make_train_step(models, cfg)
+        self.state, _ = init_fn(adapter_params)
+        self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        self.frozen, _ = pmesh.shard_params(frozen, self.mesh, fsdp=True)
+        self.state = jax.tree.map(
+            lambda x: jax.device_put(x, pmesh.replicated(self.mesh)), self.state)
+        self.logger = MetricLogger(cfg.output_dir)
+        self.manager = make_manager(cfg.output_dir, cfg.save_top_k)
+        self.profiler = (ProfilerWindow(cfg.output_dir + "/trace", *profile_window)
+                         if profile_window else None)
+
+    def resume(self) -> int:
+        restored = restore_train_state(self.manager, jax.device_get(self.state))
+        if restored is not None:
+            self.state = jax.tree.map(
+                lambda x: jax.device_put(x, pmesh.replicated(self.mesh)),
+                restored)
+            print(f"resumed from step {int(restored.step)}")
+        return int(jax.device_get(self.state.step))
+
+    def _device_batch(self, batch: Dict[str, np.ndarray]):
+        arrays = {k: batch[k] for k in ARRAY_KEYS if k in batch}
+        return pmesh.shard_batch(arrays, self.mesh)
+
+    def fit(self, batches: Iterable[Dict[str, np.ndarray]],
+            max_steps: Optional[int] = None) -> KDState:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        start = int(jax.device_get(self.state.step))
+        limit = max_steps if max_steps is not None else cfg.total_steps
+        with jax.set_mesh(self.mesh):
+            for batch in batches:
+                step = int(jax.device_get(self.state.step))
+                if step >= limit:
+                    break
+                if self.profiler:
+                    self.profiler.step(step)
+                step_rng = jax.random.fold_in(rng, step)
+                self.state, metrics = self.step_fn(
+                    self.state, self.frozen, self._device_batch(batch), step_rng)
+                new_step = step + 1
+                if new_step % cfg.log_every_n_steps == 0 or new_step == start + 1:
+                    m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                    rec = self.logger.log(new_step, m)
+                    print(f"step {new_step}: " + " ".join(
+                        f"{k}={v:.5g}" for k, v in rec.items()
+                        if k not in ("step", "time")))
+                if new_step % cfg.every_n_steps == 0:
+                    self.checkpoint(new_step)
+        return self.state
+
+    def checkpoint(self, step: int):
+        if jax.process_index() != 0:
+            return
+        save_train_state(self.manager, step, jax.device_get(self.state))
+        export_adapter(jax.device_get(self.state.adapter_params),
+                       self.models.adapter.config, self.cfg.output_dir, step)
+        print(f"checkpointed step {step}")
