@@ -23,7 +23,7 @@ def build_demo():
     from ..configs.adapter import AdapterConfig
     from ..configs.text_encoder import BERT_TINY
     from ..configs.unet import SDXL_UNET_TINY, VAE_TINY
-    from ..pipelines.factory import build_models, init_params
+    from ..pipelines.factory import build_models, init_params_host
 
     ucfg = SDXL_UNET_TINY
     pooled = ucfg.projection_class_embeddings_input_dim - 6 * ucfg.addition_time_embed_dim
@@ -32,8 +32,9 @@ def build_demo():
     models = build_models(family="chinese_clip", text_cfg=BERT_TINY,
                           adapter_cfg=adapter_cfg, unet_cfg=ucfg,
                           vae_cfg=VAE_TINY, dtype=jnp.float32)
-    params = init_params(models, "chinese_clip", BERT_TINY,
-                         jax.random.PRNGKey(0))
+    # host-side init: avoids one remote compile per module on TPU
+    params = init_params_host(models, "chinese_clip", BERT_TINY)
+    params = jax.device_put(params, jax.devices()[0])
 
     def tokenize(texts):
         import numpy as np

@@ -48,17 +48,23 @@ class KDTrainer:
             lambda x: jax.device_put(x, pmesh.replicated(self.mesh)), self.state)
         self.logger = MetricLogger(cfg.output_dir)
         self.manager = make_manager(cfg.output_dir, cfg.save_top_k)
+        # host-side step mirror: avoids a device sync per iteration
+        self.host_step = 0
         self.profiler = (ProfilerWindow(cfg.output_dir + "/trace", *profile_window)
                          if profile_window else None)
 
     def resume(self) -> int:
-        restored = restore_train_state(self.manager, jax.device_get(self.state))
+        # restore template from avals only — no device->host transfer
+        template = jax.tree.map(
+            lambda x: np.zeros(x.shape, x.dtype), self.state)
+        restored = restore_train_state(self.manager, template)
         if restored is not None:
             self.state = jax.tree.map(
                 lambda x: jax.device_put(x, pmesh.replicated(self.mesh)),
                 restored)
-            print(f"resumed from step {int(restored.step)}")
-        return int(jax.device_get(self.state.step))
+            self.host_step = int(restored.step)
+            print(f"resumed from step {self.host_step}")
+        return self.host_step
 
     def _device_batch(self, batch: Dict[str, np.ndarray]):
         arrays = {k: batch[k] for k in ARRAY_KEYS if k in batch}
@@ -68,11 +74,11 @@ class KDTrainer:
             max_steps: Optional[int] = None) -> KDState:
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed)
-        start = int(jax.device_get(self.state.step))
+        start = self.host_step
         limit = max_steps if max_steps is not None else cfg.total_steps
         with jax.set_mesh(self.mesh):
             for batch in batches:
-                step = int(jax.device_get(self.state.step))
+                step = self.host_step
                 if step >= limit:
                     break
                 if self.profiler:
@@ -80,7 +86,7 @@ class KDTrainer:
                 step_rng = jax.random.fold_in(rng, step)
                 self.state, metrics = self.step_fn(
                     self.state, self.frozen, self._device_batch(batch), step_rng)
-                new_step = step + 1
+                new_step = self.host_step = step + 1
                 if new_step % cfg.log_every_n_steps == 0 or new_step == start + 1:
                     m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
                     rec = self.logger.log(new_step, m)
