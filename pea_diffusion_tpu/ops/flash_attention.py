@@ -66,8 +66,54 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
 def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable flash attention: Pallas forward kernel; backward
+    recomputes the score matrix in XLA (adapter-grad KD training backprops
+    through the frozen UNet's attention — train/kd.py). A Pallas backward
+    kernel is a planned optimization; the XLA bwd is correct and remat-
+    friendly at the KD operating points (kv<=4096)."""
+    return _flash_attention_vjp(q, k, v, scale, block_q, block_k, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_vjp(q, k, v, scale, block_q, block_k, interpret):
+    return _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+
+
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
+    out = _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v)
+
+
+def _flash_bwd_rule(scale, block_q, block_k, interpret, res, g):
+    q, k, v = res
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    qf, kf, vf, gf = (t.astype(jnp.float32) for t in (q, k, v, g))
+    s = jnp.einsum("bqd,bkd->bqk", qf, kf) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bqk,bqd->bkd", p, gf)
+    dp = jnp.einsum("bqd,bkd->bqk", gf, vf)
+    # softmax vjp: dS = P * (dP - sum(P*dP, axis=-1, keepdims))
+    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+    dq = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
+    dk = jnp.einsum("bqk,bqd->bkd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_attention_vjp.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def _flash_forward(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
