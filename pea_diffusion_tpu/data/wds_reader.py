@@ -149,6 +149,30 @@ def shard_stream(
         yield from order
 
 
+def _raw_stream(shards, *, shuffle, resample, seed, epochs, handler,
+                use_native):
+    """Raw-sample stream; uses the C++ concurrent reader when available
+    (native/wds_tar.cc), else per-shard Python tarfile streaming."""
+    if use_native and not resample:
+        try:
+            from .native_reader import available, iter_native_samples
+            if available():
+                rng = random.Random(seed)
+                epoch_iter = (itertools.count() if epochs is None
+                              else range(epochs))
+                for _ in epoch_iter:
+                    order = list(shards)
+                    if shuffle:
+                        rng.shuffle(order)
+                    yield from iter_native_samples(order)
+                return
+        except Exception as e:  # fall back silently but loudly once
+            print(f"[wds_reader] native reader unavailable: {e!r}")
+    for shard in shard_stream(shards, shuffle=shuffle, resample=resample,
+                              seed=seed, epochs=epochs):
+        yield from iter_tar_samples(shard, handler)
+
+
 def sample_stream(
     shards: Sequence[str],
     *,
@@ -157,23 +181,24 @@ def sample_stream(
     seed: int = 0,
     epochs: Optional[int] = None,
     resample: bool = False,
+    use_native: bool = True,
 ) -> Iterator[Dict]:
     """Full decode stream with a reservoir shuffle buffer."""
     rng = random.Random(seed + 1)
     buf: List[Dict] = []
-    for shard in shard_stream(shards, shuffle=True, resample=resample,
-                              seed=seed, epochs=epochs):
-        for raw in iter_tar_samples(shard, handler):
-            sample = decode_sample(raw, handler)
-            if sample is None or "jpg" not in sample:
-                continue
-            if shuffle_buffer <= 1:
-                yield sample
-                continue
-            buf.append(sample)
-            if len(buf) >= shuffle_buffer:
-                i = rng.randrange(len(buf))
-                buf[i], buf[-1] = buf[-1], buf[i]
-                yield buf.pop()
+    for raw in _raw_stream(shards, shuffle=True, resample=resample, seed=seed,
+                           epochs=epochs, handler=handler,
+                           use_native=use_native):
+        sample = decode_sample(raw, handler)
+        if sample is None or "jpg" not in sample:
+            continue
+        if shuffle_buffer <= 1:
+            yield sample
+            continue
+        buf.append(sample)
+        if len(buf) >= shuffle_buffer:
+            i = rng.randrange(len(buf))
+            buf[i], buf[-1] = buf[-1], buf[i]
+            yield buf.pop()
     rng.shuffle(buf)
     yield from buf
