@@ -27,10 +27,20 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--quick", action="store_true",
                     help="tiny config smoke mode")
+    ap.add_argument("--vae-dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: repeat bench runs skip the 5-7 min remote
+    # compile of the SDXL program
+    import os
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from pea_diffusion_tpu.configs.adapter import ADAPTER_PRESETS, AdapterConfig
     from pea_diffusion_tpu.configs.text_encoder import (
@@ -51,16 +61,19 @@ def main():
         adapter_cfg = ADAPTER_PRESETS["sdxl_chinese_clip"]
         size = args.size
 
+    vae_dtype = jnp.bfloat16 if args.vae_dtype == "bfloat16" else jnp.float32
     models = build_models(
         family="chinese_clip", text_cfg=text_cfg, adapter_cfg=adapter_cfg,
-        unet_cfg=unet_cfg, vae_cfg=vae_cfg, dtype=jnp.bfloat16)
+        unet_cfg=unet_cfg, vae_cfg=vae_cfg, dtype=jnp.bfloat16,
+        vae_dtype=vae_dtype)
     # host-side init (numpy, no device compiles), bf16 big towers, then one
     # device_put — init-time remote compiles would otherwise dominate
     import numpy as np
     params = init_params_host(models, "chinese_clip", text_cfg, seq_len=52)
     params = {
-        k: (jax.tree.map(lambda x: x.astype(np.float32 if k in ("vae", "adapter")
-                                            else jnp.bfloat16), v))
+        k: (jax.tree.map(lambda x: x.astype(
+                np.float32 if k == "adapter"
+                else (vae_dtype if k == "vae" else jnp.bfloat16)), v))
         for k, v in params.items()
     }
     params = jax.device_put(params, jax.devices()[0])

@@ -143,6 +143,29 @@ SDXL_UNET = UNetConfig(
 
 SDXL_INPAINT_UNET = dataclasses.replace(SDXL_UNET, in_channels=9)
 
+# SD 2.1 (768-v): same topology as SD1.5, 1024-d OpenCLIP-H conditioning,
+# linear transformer projections, 64-d heads.
+SD21_UNET = UNetConfig(
+    num_attention_heads=(5, 10, 20, 20),
+    cross_attention_dim=1024,
+    use_linear_projection=True,
+)
+
+# SDXL refiner shape class: deeper 4-block ladder, 1280-d (bigG-only)
+# conditioning, aesthetic-score time ids (5*256 + 1280 pooled = 2560).
+# Real loads go through from_diffusers_config; this preset fixes the shape
+# class for tests and docs.
+SDXL_REFINER_UNET = UNetConfig(
+    block_out_channels=(384, 768, 1536, 1536),
+    transformer_layers=(0, 4, 4, 0),
+    num_attention_heads=(6, 12, 24, 24),
+    cross_attention_dim=1280,
+    mid_transformer_layers=4,
+    addition_embed_type="text_time",
+    projection_class_embeddings_input_dim=2560,
+    use_linear_projection=True,
+)
+
 # SSD-1B-style pruned SDXL (segmind/SSD-1B). Real loads should go through
 # from_diffusers_config on the checkpoint's config.json; this preset captures
 # the shape class (per-layer transformer depths, shallow mid).

@@ -66,13 +66,17 @@ def build_models(
     vae_cfg: VAEConfig,
     schedule: NoiseScheduleConfig = SDXL_SCHEDULE,
     dtype=jnp.bfloat16,
+    vae_dtype=jnp.float32,
 ) -> PEAModels:
+    """vae_dtype: fp32 reproduces the reference's upcast islands exactly;
+    bf16 is the TPU fast path (fp32 exponent range, so the fp16-overflow
+    problem the reference works around does not occur; norms stay fp32)."""
     _, text_fn = make_text_encoder_fn(family, text_cfg, dtype)
     return PEAModels(
         text_encoder_fn=text_fn,
         adapter=PEAAdapter(adapter_cfg, dtype=dtype),
         unet=UNet2DCondition(unet_cfg, dtype=dtype),
-        vae=AutoencoderKL(vae_cfg, dtype=jnp.float32),
+        vae=AutoencoderKL(vae_cfg, dtype=vae_dtype),
         schedule=schedule,
         vae_scaling=vae_cfg.scaling_factor,
     )
