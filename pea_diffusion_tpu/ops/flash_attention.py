@@ -1,13 +1,15 @@
-"""Pallas TPU flash attention.
+"""Pallas TPU flash attention — forward and backward kernels.
 
-The one real custom kernel this framework needs (SURVEY.md §2c): the UNet's
-self-attention at 64x64 latents is a 4096x4096 score matrix per head — the
-XLA default materializes it in HBM; this kernel keeps the online-softmax
-running state (m, l, acc) in VMEM and streams K/V blocks, so HBM traffic is
-O(S*D) instead of O(S^2).
+The one real custom kernel family this framework needs (SURVEY.md §2c): the
+UNet's self-attention at 64x64 latents is a 4096x4096 score matrix per head —
+the XLA default materializes it in HBM; these kernels keep the online-softmax
+running state in VMEM and stream K/V blocks, so HBM traffic is O(S*D) instead
+of O(S^2) in BOTH directions (KD training backprops through the frozen UNet's
+attention into the adapter, train/kd.py).
 
 Layout: [BH, S, D] (batch*heads flattened). D is padded to a multiple of 128
-lanes by the wrapper; padded K positions are masked via `kv_len`. fp32
+lanes by the wrappers; padded K positions are masked via `kv_len`; padded Q
+rows are harmless in backward because their dO rows are zero. fp32
 accumulation regardless of input dtype (bf16 in the pipelines).
 """
 from __future__ import annotations
@@ -23,7 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, kv_len, block_k):
+# --- forward ------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
+                scale, kv_len, block_k, with_lse):
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -39,16 +45,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # [bq, bk]
 
-    # mask padded kv tail (kv_len need not be a multiple of block_k)
-    if kv_len % block_k != 0:
+    if kv_len % block_k != 0:  # mask padded kv tail
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
 
-    m_prev = m_ref[:, 0:1]  # [bq, 1]
+    m_prev = m_ref[:, 0:1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # [bq, bk] f32
-    corr = jnp.exp(m_prev - m_new)  # [bq, 1]
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
     l_new = l_ref[:, 0:1] * corr + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * corr + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -60,101 +65,59 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, k
     @pl.when(ki == nk - 1)
     def _finish():
         o_ref[0] = (acc_ref[:] / l_ref[:, 0:1]).astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[0] = (m_ref[:, 0] + jnp.log(l_ref[:, 0]))
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def flash_attention(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 512,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Differentiable flash attention: Pallas forward kernel; backward
-    recomputes the score matrix in XLA (adapter-grad KD training backprops
-    through the frozen UNet's attention — train/kd.py). A Pallas backward
-    kernel is a planned optimization; the XLA bwd is correct and remat-
-    friendly at the KD operating points (kv<=4096)."""
-    return _flash_attention_vjp(q, k, v, scale, block_q, block_k, interpret)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_attention_vjp(q, k, v, scale, block_q, block_k, interpret):
-    return _flash_forward(q, k, v, scale, block_q, block_k, interpret)
-
-
-def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
-    out = _flash_forward(q, k, v, scale, block_q, block_k, interpret)
-    return out, (q, k, v)
-
-
-def _flash_bwd_rule(scale, block_q, block_k, interpret, res, g):
-    q, k, v = res
-    if scale is None:
-        scale = 1.0 / math.sqrt(q.shape[-1])
-    qf, kf, vf, gf = (t.astype(jnp.float32) for t in (q, k, v, g))
-    s = jnp.einsum("bqd,bkd->bqk", qf, kf) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    dv = jnp.einsum("bqk,bqd->bkd", p, gf)
-    dp = jnp.einsum("bqd,bkd->bqk", gf, vf)
-    # softmax vjp: dS = P * (dP - sum(P*dP, axis=-1, keepdims))
-    ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-    dq = jnp.einsum("bqk,bkd->bqd", ds, kf) * scale
-    dk = jnp.einsum("bqk,bqd->bkd", ds, qf) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
-
-
-_flash_attention_vjp.defvjp(_flash_fwd_rule, _flash_bwd_rule)
-
-
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
-def _flash_forward(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 512,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """q: [BH, Sq, D], k/v: [BH, Skv, D] -> [BH, Sq, D].
-
-    Handles ragged Sq/Skv/D by padding to tile multiples and masking K's tail;
-    output is sliced back to the caller's shapes.
-    """
+def _pad_qkv(q, k, v, block_q, block_k):
     bh, sq, d = q.shape
     skv = k.shape[1]
-    if scale is None:
-        scale = 1.0 / math.sqrt(d)
-
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(skv, 128))
     sq_p = _round_up(sq, block_q)
     skv_p = _round_up(skv, block_k)
     d_p = _round_up(d, 128)
-
     q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, d_p - d)))
     k = jnp.pad(k, ((0, 0), (0, skv_p - skv), (0, d_p - d)))
     v = jnp.pad(v, ((0, 0), (0, skv_p - skv), (0, d_p - d)))
+    return q, k, v, block_q, block_k
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret", "with_lse"))
+def _flash_forward(q, k, v, scale=None, block_q=256, block_k=512,
+                   interpret=False, with_lse=False):
+    """[BH,Sq,D] x [BH,Skv,D] -> out [BH,Sq,D] (+ lse [BH,Sq] if with_lse)."""
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    q, k, v, block_q, block_k = _pad_qkv(q, k, v, block_q, block_k)
+    _, sq_p, d_p = q.shape
+    skv_p = k.shape[1]
 
     grid = (bh, sq_p // block_q, skv_p // block_k)
-    out = pl.pallas_call(
-        functools.partial(
-            _flash_kernel, scale=scale, kv_len=skv, block_k=block_k
-        ),
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=skv,
+                          block_k=block_k, with_lse=True),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d_p), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k, d_p), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_k, d_p), lambda b, qi, ki: (b, ki, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d_p), lambda b, qi, ki: (b, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d_p), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d_p), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q), lambda b, qi, ki: (b, qi)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_p, d_p), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq_p), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),  # m
             pltpu.VMEM((block_q, 128), jnp.float32),  # l
@@ -170,4 +133,192 @@ def _flash_forward(
         ),
         interpret=interpret,
     )(q, k, v)
-    return out[:, :sq, :d]
+    out = out[:, :sq, :d]
+    if with_lse:
+        return out, lse[:, :sq]
+    return out
+
+
+# --- backward -----------------------------------------------------------------
+
+
+def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                     dk_ref, dv_ref, dk_acc, dv_acc, *, scale, kv_len, block_k):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+    ki = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]          # [bq, d]
+    k = k_ref[0]          # [bk, d]
+    do = do_ref[0]        # [bq, d]
+    lse = lse_ref[0]      # [bq]
+    delta = delta_ref[0]  # [bq]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse[:, None])  # [bq, bk]
+
+    # dv += P^T dO
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # dP = dO V^T ; dS = P * (dP - delta)
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None])
+    # dk += dS^T q * scale
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_acc, *, scale, kv_len, block_k):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]
+    delta = delta_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if kv_len % block_k != 0:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        s = jnp.where(col < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse[:, None])
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None])
+    dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
+                                             "interpret"))
+def _flash_backward(q, k, v, out, lse, g, scale, block_q=256, block_k=512,
+                    interpret=False):
+    bh, sq, d = q.shape
+    skv = k.shape[1]
+    # delta_i = sum_d dO_i * O_i  (cheap rowwise; XLA fuses)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    q, k, v, block_q, block_k = _pad_qkv(q, k, v, block_q, block_k)
+    _, sq_p, d_p = q.shape
+    skv_p = k.shape[1]
+    g = jnp.pad(g, ((0, 0), (0, sq_p - sq), (0, d_p - d)))
+    lse = jnp.pad(lse, ((0, 0), (0, sq_p - sq)))
+    delta = jnp.pad(delta, ((0, 0), (0, sq_p - sq)))
+
+    nq, nk = sq_p // block_q, skv_p // block_k
+
+    qspec = pl.BlockSpec((1, block_q, d_p), lambda b, ki, qi: (b, qi, 0))
+    kspec = pl.BlockSpec((1, block_k, d_p), lambda b, ki, qi: (b, ki, 0))
+    rowspec = pl.BlockSpec((1, block_q), lambda b, ki, qi: (b, qi))
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, scale=scale, kv_len=skv,
+                          block_k=block_k),
+        grid=(bh, nk, nq),
+        in_specs=[qspec, kspec, kspec, qspec, rowspec, rowspec],
+        out_specs=(
+            pl.BlockSpec((1, block_k, d_p), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, d_p), lambda b, ki, qi: (b, ki, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, skv_p, d_p), k.dtype),
+            jax.ShapeDtypeStruct((bh, skv_p, d_p), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d_p), jnp.float32),
+            pltpu.VMEM((block_k, d_p), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+
+    q2 = pl.BlockSpec((1, block_q, d_p), lambda b, qi, ki: (b, qi, 0))
+    k2 = pl.BlockSpec((1, block_k, d_p), lambda b, qi, ki: (b, ki, 0))
+    row2 = pl.BlockSpec((1, block_q), lambda b, qi, ki: (b, qi))
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=skv,
+                          block_k=block_k),
+        grid=(bh, nq, nk),
+        in_specs=[q2, k2, k2, q2, row2, row2],
+        out_specs=pl.BlockSpec((1, block_q, d_p), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, d_p), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d_p), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q, k, v, g, lse, delta)
+
+    return dq[:, :sq, :d], dk[:, :skv, :d], dv[:, :skv, :d]
+
+
+# --- public API with custom VJP -------------------------------------------------
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable flash attention (Pallas fwd + Pallas bwd)."""
+    return _flash_attention_vjp(q, k, v, scale, block_q, block_k, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention_vjp(q, k, v, scale, block_q, block_k, interpret):
+    return _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+
+
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
+    out, lse = _flash_forward(q, k, v, scale, block_q, block_k, interpret,
+                              with_lse=True)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_bwd_rule(scale, block_q, block_k, interpret, res, g):
+    q, k, v, out, lse = res
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    return _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k,
+                           interpret)
+
+
+_flash_attention_vjp.defvjp(_flash_fwd_rule, _flash_bwd_rule)
