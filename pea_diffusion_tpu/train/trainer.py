@@ -42,7 +42,9 @@ class KDTrainer:
         self.mesh = mesh or pmesh.make_mesh(cfg.mesh_shape)
         init_fn, step_fn = make_train_step(models, cfg)
         self.state, _ = init_fn(adapter_params)
-        self.step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        # no donation: the train state is adapter+opt only (~tens of MB);
+        # donating it deletes caller-held param buffers on reuse
+        self.step_fn = jax.jit(step_fn)
         self.frozen, _ = pmesh.shard_params(frozen, self.mesh, fsdp=True)
         self.state = jax.tree.map(
             lambda x: jax.device_put(x, pmesh.replicated(self.mesh)), self.state)
@@ -96,6 +98,39 @@ class KDTrainer:
                 if new_step % cfg.every_n_steps == 0:
                     self.checkpoint(new_step)
         return self.state
+
+    def warmup(self, batch_size: int, text_len: int, teacher_len: int = 77,
+               buckets=None):
+        """Pre-compile the train step for every aspect-bucket shape (9 jit
+        cache entries — same-bucket batching keeps shapes static, SURVEY.md
+        §7 hard part 5). Call before `fit` to avoid mid-training compiles."""
+        from ..data.buckets import BUCKETS
+
+        buckets = buckets if buckets is not None else range(len(BUCKETS))
+        rng = jax.random.PRNGKey(0)
+        with jax.set_mesh(self.mesh):
+            for b in buckets:
+                w, h = BUCKETS[b]
+                batch = {
+                    "pixel_values": np.zeros((batch_size, h, w, 3), np.float32),
+                    "input_ids": np.zeros((batch_size, text_len), np.int32),
+                    "input_ids_uncond": np.zeros((batch_size, text_len), np.int32),
+                    "teacher_ids_1": np.zeros((batch_size, teacher_len), np.int32),
+                    "teacher_ids_2": np.zeros((batch_size, teacher_len), np.int32),
+                    "teacher_uncond_ids_1": np.zeros((batch_size, teacher_len), np.int32),
+                    "teacher_uncond_ids_2": np.zeros((batch_size, teacher_len), np.int32),
+                    "time_ids": np.zeros((batch_size, 6), np.float32),
+                    "zh_or_not": np.zeros((batch_size,), np.float32),
+                }
+                if self.models.teacher_clip2 is None:
+                    batch.pop("teacher_ids_2")
+                    batch.pop("teacher_uncond_ids_2")
+                    batch.pop("time_ids")
+                # AOT-compile without executing or mutating state
+                self.step_fn.lower(
+                    self.state, self.frozen, self._device_batch(batch), rng
+                ).compile()
+                print(f"warmup: bucket {b} ({w}x{h}) compiled")
 
     def checkpoint(self, step: int):
         if jax.process_index() != 0:

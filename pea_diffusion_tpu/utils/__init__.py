@@ -1,0 +1,3 @@
+from .metrics import MetricLogger, ProfilerWindow
+
+__all__ = ["MetricLogger", "ProfilerWindow"]
