@@ -111,6 +111,45 @@ def convert_clip_text(sd: StateDict, num_layers: int) -> dict:
     return {"params": p}
 
 
+def convert_clip_vision(sd: StateDict, num_layers: int) -> dict:
+    """transformers CLIPVisionModel(WithProjection) / ChineseCLIPVisionModel
+    -> CLIPVisionEncoder params."""
+    sd = dict(sd)
+    if any(k.startswith("vision_model.") for k in sd):
+        proj = sd.get("visual_projection.weight")
+        sd = {k[len("vision_model."):]: v for k, v in sd.items()
+              if k.startswith("vision_model.")}
+        if proj is not None:
+            sd["visual_projection.weight"] = proj
+    # transformers CLIP has a historical typo: pre_layrnorm
+    pre = ("embeddings_pre" if False else
+           "pre_layrnorm" if "pre_layrnorm.weight" in sd else "pre_layernorm")
+    p: dict = {
+        "patch_embedding": {
+            "kernel": sd["embeddings.patch_embedding.weight"].transpose(2, 3, 1, 0)
+        },
+        "class_embedding": sd["embeddings.class_embedding"].reshape(-1),
+        "position_embedding": sd["embeddings.position_embedding.weight"],
+        "pre_layernorm": _norm(sd, pre),
+        "post_layernorm": _norm(sd, "post_layernorm"),
+    }
+    for i in range(num_layers):
+        pre_k = f"encoder.layers.{i}"
+        p[f"layers_{i}"] = {
+            "ln1": _norm(sd, f"{pre_k}.layer_norm1"),
+            "ln2": _norm(sd, f"{pre_k}.layer_norm2"),
+            "q_proj": _lin(sd, f"{pre_k}.self_attn.q_proj"),
+            "k_proj": _lin(sd, f"{pre_k}.self_attn.k_proj"),
+            "v_proj": _lin(sd, f"{pre_k}.self_attn.v_proj"),
+            "out_proj": _lin(sd, f"{pre_k}.self_attn.out_proj"),
+            "fc1": _lin(sd, f"{pre_k}.mlp.fc1"),
+            "fc2": _lin(sd, f"{pre_k}.mlp.fc2"),
+        }
+    if "visual_projection.weight" in sd:
+        p["visual_projection"] = sd["visual_projection.weight"].T
+    return {"params": p}
+
+
 # --- BERT / XLM-R ----------------------------------------------------------------
 
 def convert_bert_text(sd: StateDict, num_layers: int) -> dict:

@@ -66,7 +66,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
     def _finish():
         o_ref[0] = (acc_ref[:] / l_ref[:, 0:1]).astype(o_ref.dtype)
         if with_lse:
-            lse_ref[0] = (m_ref[:, 0] + jnp.log(l_ref[:, 0]))
+            # (bq, 8) lanes: TPU blocks need sublane/lane divisibility, so
+            # the per-row scalar is replicated across 8 lanes
+            lse = m_ref[:, 0:1] + jnp.log(l_ref[:, 0:1])
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _round_up(x: int, m: int) -> int:
@@ -112,11 +115,11 @@ def _flash_forward(q, k, v, scale=None, block_q=256, block_k=512,
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, d_p), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_q), lambda b, qi, ki: (b, qi)),
+            pl.BlockSpec((1, block_q, 8), lambda b, qi, ki: (b, qi, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, sq_p, d_p), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq_p, 8), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),  # m
@@ -135,7 +138,7 @@ def _flash_forward(q, k, v, scale=None, block_q=256, block_k=512,
     )(q, k, v)
     out = out[:, :sq, :d]
     if with_lse:
-        return out, lse[:, :sq]
+        return out, lse[:, :sq, 0]
     return out
 
 
@@ -153,11 +156,11 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0]          # [bq, d]
-    k = k_ref[0]          # [bk, d]
-    do = do_ref[0]        # [bq, d]
-    lse = lse_ref[0]      # [bq]
-    delta = delta_ref[0]  # [bq]
+    q = q_ref[0]              # [bq, d]
+    k = k_ref[0]              # [bk, d]
+    do = do_ref[0]            # [bq, d]
+    lse = lse_ref[0, :, 0:1]      # [bq, 1]
+    delta = delta_ref[0, :, 0:1]  # [bq, 1]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -165,7 +168,7 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     if kv_len % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse[:, None])  # [bq, bk]
+    p = jnp.exp(s - lse)  # [bq, bk]
 
     # dv += P^T dO
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
@@ -175,7 +178,7 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dp = jax.lax.dot_general(
         do, v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = p * (dp - delta[:, None])
+    ds = p * (dp - delta)
     # dk += dS^T q * scale
     dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -199,8 +202,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     q = q_ref[0]
     k = k_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]
-    delta = delta_ref[0]
+    lse = lse_ref[0, :, 0:1]
+    delta = delta_ref[0, :, 0:1]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -208,11 +211,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     if kv_len % block_k != 0:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
         s = jnp.where(col < kv_len, s, NEG_INF)
-    p = jnp.exp(s - lse[:, None])
+    p = jnp.exp(s - lse)
     dp = jax.lax.dot_general(
         do, v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    ds = p * (dp - delta[:, None])
+    ds = p * (dp - delta)
     dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
@@ -237,12 +240,14 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q=256, block_k=512,
     g = jnp.pad(g, ((0, 0), (0, sq_p - sq), (0, d_p - d)))
     lse = jnp.pad(lse, ((0, 0), (0, sq_p - sq)))
     delta = jnp.pad(delta, ((0, 0), (0, sq_p - sq)))
+    lse = jnp.broadcast_to(lse[..., None], lse.shape + (8,))
+    delta = jnp.broadcast_to(delta[..., None], delta.shape + (8,))
 
     nq, nk = sq_p // block_q, skv_p // block_k
 
     qspec = pl.BlockSpec((1, block_q, d_p), lambda b, ki, qi: (b, qi, 0))
     kspec = pl.BlockSpec((1, block_k, d_p), lambda b, ki, qi: (b, ki, 0))
-    rowspec = pl.BlockSpec((1, block_q), lambda b, ki, qi: (b, qi))
+    rowspec = pl.BlockSpec((1, block_q, 8), lambda b, ki, qi: (b, qi, 0))
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, scale=scale, kv_len=skv,
                           block_k=block_k),
@@ -268,7 +273,7 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q=256, block_k=512,
 
     q2 = pl.BlockSpec((1, block_q, d_p), lambda b, qi, ki: (b, qi, 0))
     k2 = pl.BlockSpec((1, block_k, d_p), lambda b, qi, ki: (b, ki, 0))
-    row2 = pl.BlockSpec((1, block_q), lambda b, qi, ki: (b, qi))
+    row2 = pl.BlockSpec((1, block_q, 8), lambda b, qi, ki: (b, qi, 0))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=skv,
                           block_k=block_k),
