@@ -51,7 +51,6 @@ def main():
         c1, c2 = CLIP_TINY, CLIP_TINY
         size, B, T, TT = 64, 2, 12, 16
         pooled = unet_cfg.projection_class_embeddings_input_dim - 6 * unet_cfg.addition_time_embed_dim
-        c2 = AdapterConfig  # placeholder replaced below
         from pea_diffusion_tpu.configs.text_encoder import CLIPTextConfig
         c1 = CLIPTextConfig(vocab_size=500, hidden_size=24, num_layers=2,
                             num_heads=2, intermediate_size=48,
