@@ -63,6 +63,9 @@ class DataConfig:
     resolution: int = 512
     hr_size: int = -1
     center_crop: bool = False
+    # True: 9-bucket aspect batching (SDXL path, custom_dataset_sdxl.py);
+    # False: fixed square `resolution` (SD1.5 path, custom_dataset.py:79-186)
+    bucketing: bool = True
     shuffle_shards: bool = True
     resample_shards: bool = False
     shuffle_buffer: int = 1000

@@ -46,9 +46,21 @@ class Preprocessor:
                                 min_aesthetic=self.cfg.min_aesthetic,
                                 max_watermark=self.cfg.max_watermark):
             return None
-        bucket_id = B.assign_bucket(w, h)
-        img, (top, left) = B.resize_and_crop(img, bucket_id, self.center_crop,
-                                             self.rng)
+        if self.cfg.bucketing:
+            bucket_id = B.assign_bucket(w, h)
+            img, (top, left) = B.resize_and_crop(
+                img, bucket_id, self.center_crop, self.rng)
+        else:
+            # SD1.5 path: fixed square resolution (custom_dataset.py:79-186)
+            bucket_id = 0
+            res = self.cfg.resolution
+            nw, nh = B.scaled_size_to_cover(img.size, (res, res))
+            img = img.resize((nw, nh), resample=2)
+            if self.center_crop:
+                top, left = B.center_crop_coords((nw, nh), (res, res))
+            else:
+                top, left = B.random_crop_coords((nw, nh), (res, res), self.rng)
+            img = img.crop((left, top, left + res, top + res))
         prompt, zh_or_not, caption_en = C.route_caption(meta)
         return {
             "pixel_values": B.normalize_to_tensor(img),
@@ -77,9 +89,10 @@ def collate(
     n = len(examples)
     prompts = [e["prompt"] for e in examples]
     bucket_id = examples[0]["bucket_id"]
-    tw, th = B.BUCKETS[bucket_id]
+    pixel_values = np.stack([e["pixel_values"] for e in examples])
+    th, tw = pixel_values.shape[1], pixel_values.shape[2]  # target size
     batch: Dict[str, np.ndarray] = {
-        "pixel_values": np.stack([e["pixel_values"] for e in examples]),
+        "pixel_values": pixel_values,
         "original_size": np.array(
             [(e["original_size"][1], e["original_size"][0]) for e in examples],
             np.float32),

@@ -60,6 +60,10 @@ class KDModels:
     schedule: NoiseScheduleConfig = NoiseScheduleConfig()
     vae_scaling: float = 0.13025
     remat: bool = True
+    # fp32 VAE encode of the full micro-batch spikes HBM (640^2x128 fp32
+    # activations); lax.map over chunks caps the live set — encode cost is
+    # negligible next to the two UNet passes. None = no chunking.
+    vae_encode_chunk: Optional[int] = 2
 
     def __hash__(self):
         return id(self)
@@ -108,10 +112,21 @@ def kd_loss(
     unet_dtype = models.unet.dtype
     sched = ddpm.make_schedule(models.schedule)
 
-    # 1. fp32 VAE encode -> scaled latents -> unet dtype (:306-309)
-    latents = models.vae.apply(
-        frozen["vae"], batch["pixel_values"].astype(jnp.float32), r_vae,
-        method=models.vae.encode_sample)
+    # 1. fp32 VAE encode -> scaled latents -> unet dtype (:306-309),
+    # batch-chunked to cap fp32 activation HBM
+    pixels = batch["pixel_values"].astype(jnp.float32)
+    chunk = models.vae_encode_chunk
+    if chunk is not None and pixels.shape[0] > chunk and pixels.shape[0] % chunk == 0:
+        n = pixels.shape[0] // chunk
+        xs = pixels.reshape((n, chunk) + pixels.shape[1:])
+        latents = jax.lax.map(
+            lambda args: models.vae.apply(frozen["vae"], args[0], args[1],
+                                          method=models.vae.encode_sample),
+            (xs, jax.random.split(r_vae, n)))
+        latents = latents.reshape((pixels.shape[0],) + latents.shape[2:])
+    else:
+        latents = models.vae.apply(frozen["vae"], pixels, r_vae,
+                                   method=models.vae.encode_sample)
     latents = (latents * models.vae_scaling).astype(unet_dtype)
     b = latents.shape[0]
 
