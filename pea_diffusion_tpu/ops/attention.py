@@ -50,5 +50,9 @@ def dot_product_attention(
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if mask is None and _use_flash(q.shape[1], backend):
-        return flash_attention(q, k, v, scale=scale)
+        # v5e-swept block sizes (docs/DESIGN.md §4): large kv blocks win —
+        # S=4096: bq256/bk1024 3.40ms vs 5.84ms XLA; S=1024: bq512/bk1024.
+        block_q = 256 if q.shape[1] >= 2048 else 512
+        return flash_attention(q, k, v, scale=scale, block_q=block_q,
+                               block_k=1024)
     return xla_attention(q, k, v, scale, mask)

@@ -92,7 +92,7 @@ def _pad_qkv(q, k, v, block_q, block_k):
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "interpret", "with_lse"))
-def _flash_forward(q, k, v, scale=None, block_q=256, block_k=512,
+def _flash_forward(q, k, v, scale=None, block_q=256, block_k=1024,
                    interpret=False, with_lse=False):
     """[BH,Sq,D] x [BH,Skv,D] -> out [BH,Sq,D] (+ lse [BH,Sq] if with_lse)."""
     bh, sq, d = q.shape
@@ -227,7 +227,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "interpret"))
-def _flash_backward(q, k, v, out, lse, g, scale, block_q=256, block_k=512,
+def _flash_backward(q, k, v, out, lse, g, scale, block_q=256, block_k=1024,
                     interpret=False):
     bh, sq, d = q.shape
     skv = k.shape[1]
@@ -300,7 +300,7 @@ def flash_attention(
     v: jnp.ndarray,
     scale: float | None = None,
     block_q: int = 256,
-    block_k: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Differentiable flash attention (Pallas fwd + Pallas bwd)."""
