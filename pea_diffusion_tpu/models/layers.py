@@ -147,6 +147,8 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context: Optional[jnp.ndarray] = None):
+        from ..ops.attention import use_flash, xla_attention_bshd
+
         context = x if context is None else context
         inner = self.num_heads * self.head_dim
         q = nn.Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype, name="to_q")(x)
@@ -155,17 +157,27 @@ class MultiHeadAttention(nn.Module):
 
         b, sq, _ = q.shape
         skv = k.shape[1]
+        scale = 1.0 / math.sqrt(self.head_dim)
 
-        def split(t, s):
-            t = t.reshape(b, s, self.num_heads, self.head_dim)
-            return t.transpose(0, 2, 1, 3).reshape(b * self.num_heads, s, self.head_dim)
+        if use_flash(sq, self.backend):
+            # head-major layout for the Pallas kernel
+            def split(t, s):
+                t = t.reshape(b, s, self.num_heads, self.head_dim)
+                return t.transpose(0, 2, 1, 3).reshape(
+                    b * self.num_heads, s, self.head_dim)
 
-        out = dot_product_attention(
-            split(q, sq), split(k, skv), split(v, skv),
-            scale=1.0 / math.sqrt(self.head_dim), backend=self.backend,
-        )
-        out = out.reshape(b, self.num_heads, sq, self.head_dim)
-        out = out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+            out = dot_product_attention(
+                split(q, sq), split(k, skv), split(v, skv),
+                scale=scale, backend=self.backend)
+            out = out.reshape(b, self.num_heads, sq, self.head_dim)
+            out = out.transpose(0, 2, 1, 3).reshape(b, sq, inner)
+        else:
+            # XLA path: keep [B,S,H,D] — no transpose copies
+            out = xla_attention_bshd(
+                q.reshape(b, sq, self.num_heads, self.head_dim),
+                k.reshape(b, skv, self.num_heads, self.head_dim),
+                v.reshape(b, skv, self.num_heads, self.head_dim),
+                scale).reshape(b, sq, inner)
         return nn.Dense(inner, dtype=self.dtype, name="to_out")(out)
 
 

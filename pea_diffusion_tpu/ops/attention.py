@@ -38,6 +38,20 @@ def xla_attention(q, k, v, scale, mask: Optional[jnp.ndarray] = None):
     return jnp.einsum("bqk,bkd->bqd", p, v)
 
 
+def xla_attention_bshd(q, k, v, scale):
+    """[B, S, H, D] attention without head-major transposes: einsum keeps the
+    head axis in place, so no layout copies hit HBM (the profiler showed
+    6.7% of the SDXL step in `copy` — mostly attention transposes)."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def use_flash(sq: int, backend: str = "auto") -> bool:
+    return _use_flash(sq, backend)
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
