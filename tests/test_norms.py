@@ -1,0 +1,54 @@
+"""Norm-layer parity vs torch (GroupNorm has no indirect coverage via the
+text-encoder parity tests; validate the single-pass stats directly)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from pea_diffusion_tpu.models.layers import GroupNorm, LayerNormFP32
+
+
+def test_group_norm_matches_torch():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 6, 6, 32).astype(np.float32) * 3 + 1.5
+    scale = rng.randn(32).astype(np.float32)
+    bias = rng.randn(32).astype(np.float32)
+
+    m = GroupNorm(num_groups=8, eps=1e-5)
+    params = {"params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}}
+    out = m.apply(params, jnp.asarray(x))
+
+    t = torch.nn.GroupNorm(8, 32, eps=1e-5)
+    with torch.no_grad():
+        t.weight.copy_(torch.from_numpy(scale))
+        t.bias.copy_(torch.from_numpy(bias))
+        # torch is NCHW
+        ref = t(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_layer_norm_matches_torch():
+    rng = np.random.RandomState(1)
+    x = rng.randn(3, 7, 48).astype(np.float32) * 10 - 4
+    scale = rng.randn(48).astype(np.float32)
+    bias = rng.randn(48).astype(np.float32)
+    m = LayerNormFP32(eps=1e-5)
+    params = {"params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)}}
+    out = m.apply(params, jnp.asarray(x))
+    t = torch.nn.LayerNorm(48, eps=1e-5)
+    with torch.no_grad():
+        t.weight.copy_(torch.from_numpy(scale))
+        t.bias.copy_(torch.from_numpy(bias))
+        ref = t(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_group_norm_bf16_input_stable():
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 8, 8, 16), jnp.bfloat16)
+    m = GroupNorm(num_groups=4)
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out, np.float32)).all()
