@@ -68,6 +68,9 @@ class DataConfig:
     bucketing: bool = True
     shuffle_shards: bool = True
     resample_shards: bool = False
+    train_split: float = 1.0
+    val_split: float = 0.0
+    test_split: float = 0.0
     shuffle_buffer: int = 1000
     max_token_length: int = 77
     # quality filters (utils/custom_dataset_sdxl.py:59-66)

@@ -20,7 +20,7 @@ from ..configs.train import DataConfig
 from . import buckets as B
 from . import captions as C
 from .multiplexer import BucketBatcher
-from .wds_reader import expand_urls, sample_stream, split_by_process
+from .wds_reader import expand_urls, sample_stream, split_by_process, split_shards
 
 TokenizeFn = Callable[[List[str]], np.ndarray]  # texts -> [B, T] int ids
 
@@ -125,8 +125,11 @@ def make_train_iterator(
     seed: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Shard-partitioned, bucketed, batched stream of train batches."""
-    shards = split_by_process(expand_urls(list(cfg.urls)), process_index,
-                              process_count)
+    all_shards = expand_urls(list(cfg.urls))
+    if cfg.train_split < 1.0:
+        all_shards, _, _ = split_shards(
+            all_shards, cfg.train_split, cfg.val_split, cfg.test_split, seed)
+    shards = split_by_process(all_shards, process_index, process_count)
     if not shards:
         raise ValueError("no shards for this process")
     pre = Preprocessor(cfg, tokenize, cfg.center_crop, seed)

@@ -44,6 +44,25 @@ def expand_urls(urls) -> List[str]:
     return out
 
 
+def split_shards(
+    shards: Sequence[str],
+    train: float = 1.0,
+    val: float = 0.0,
+    test: float = 0.0,
+    seed: int = 0,
+):
+    """Shard-level train/val/test split (the reference's random_split over
+    the expanded url list, utils/custom_dataset_sdxl.py:166-179)."""
+    assert abs(train + val + test - 1.0) < 1e-6
+    order = list(shards)
+    random.Random(seed).shuffle(order)
+    n = len(order)
+    n_train = int(round(n * train))
+    n_val = int(round(n * val))
+    return (order[:n_train], order[n_train:n_train + n_val],
+            order[n_train + n_val:])
+
+
 def split_by_process(shards: Sequence[str], process_index: Optional[int] = None,
                      process_count: Optional[int] = None) -> List[str]:
     """Static per-host shard partition (DistributedReadingService analog)."""

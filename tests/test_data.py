@@ -159,3 +159,15 @@ def test_full_train_iterator(shards):
     # passes the area filter
     areas = batch["original_size"][:, 0] * batch["original_size"][:, 1]
     assert (areas >= 500 * 500).all()
+
+
+def test_split_shards():
+    from pea_diffusion_tpu.data.wds_reader import split_shards
+
+    shards = [f"s{i}.tar" for i in range(20)]
+    tr, va, te = split_shards(shards, 0.8, 0.1, 0.1, seed=1)
+    assert len(tr) == 16 and len(va) == 2 and len(te) == 2
+    assert set(tr) | set(va) | set(te) == set(shards)
+    # deterministic per seed
+    tr2, _, _ = split_shards(shards, 0.8, 0.1, 0.1, seed=1)
+    assert tr == tr2
