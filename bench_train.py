@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="skip jax.checkpoint on the UNet fwds (more HBM, fewer FLOPs)")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +79,7 @@ def main():
         teacher_clip2=CLIPTextEncoder(c2, dtype=jnp.bfloat16),
         schedule=SDXL_SCHEDULE,
         vae_scaling=vae_cfg.scaling_factor,
-        remat=True,
+        remat=not args.no_remat,
     )
 
     # host-side random params (shapes from eval_shape; bf16 frozen towers)
