@@ -29,6 +29,8 @@ def main():
                     help="tiny config smoke mode")
     ap.add_argument("--vae-dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--model", default="sdxl", choices=["sdxl", "sd15"],
+                    help="sd15 = 512^2 SD1.5 stack (BASELINE config 1)")
     args = ap.parse_args()
 
     import jax
@@ -46,11 +48,15 @@ def main():
     from pea_diffusion_tpu.configs.text_encoder import (
         BERT_TINY, CHINESE_CLIP_LARGE)
     from pea_diffusion_tpu.configs.unet import (
-        SDXL_UNET, SDXL_UNET_TINY, SDXL_VAE, VAE_TINY)
+        SD15_UNET, SD15_VAE, SDXL_UNET, SDXL_UNET_TINY, SDXL_VAE, VAE_TINY)
     from pea_diffusion_tpu.pipelines.factory import build_models, init_params_host
-    from pea_diffusion_tpu.pipelines.text2image import generate_sdxl
+    from pea_diffusion_tpu.pipelines.text2image import generate_sd, generate_sdxl
 
-    if args.quick:
+    if args.model == "sd15" and not args.quick:
+        text_cfg, unet_cfg, vae_cfg = CHINESE_CLIP_LARGE, SD15_UNET, SD15_VAE
+        adapter_cfg = ADAPTER_PRESETS["sd15_chinese_clip"]
+        size = min(args.size, 512)
+    elif args.quick:
         text_cfg, unet_cfg, vae_cfg = BERT_TINY, SDXL_UNET_TINY, VAE_TINY
         pooled = unet_cfg.projection_class_embeddings_input_dim - 6 * unet_cfg.addition_time_embed_dim
         adapter_cfg = AdapterConfig(text_cfg.hidden_size, (96, pooled),
@@ -83,8 +89,10 @@ def main():
                              text_cfg.vocab_size)
     uncond = jnp.full((B, T), 4, jnp.int32)
 
+    gen = generate_sd if args.model == "sd15" and not args.quick else generate_sdxl
+
     def run(seed):
-        img = generate_sdxl(models, params, ids, uncond,
+        img = gen(models, params, ids, uncond,
                             jax.random.PRNGKey(seed),
                             sampler_name=args.sampler, height=size,
                             width=size, num_steps=args.steps,
@@ -108,7 +116,7 @@ def main():
     img_per_s = B / dt
 
     print(json.dumps({
-        "metric": f"SDXL {size}^2 images/sec/chip ({args.sampler.upper()}-{args.steps}, CFG)",
+        "metric": f"{'SD1.5' if args.model == 'sd15' else 'SDXL'} {size}^2 images/sec/chip ({args.sampler.upper()}-{args.steps}, CFG)",
         "value": round(img_per_s, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_s / A100_REFERENCE_IMG_PER_S, 3),
