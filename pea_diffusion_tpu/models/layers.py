@@ -84,6 +84,9 @@ class GroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        from ..ops.groupnorm import fused_gn_applicable, fused_group_norm
+        if fused_gn_applicable(x, self.num_groups):
+            return fused_group_norm(x, scale, bias, self.num_groups, self.eps)
         return group_norm(x, scale, bias, self.num_groups, self.eps)
 
 
