@@ -8,9 +8,15 @@ following SiLU all on-chip).
 
 Applicability: the per-sample map plus two fp32 temporaries must fit the
 VMEM stack (<= ~1.4M elements — the 32x32x1280-class maps where most of the
-SDXL UNet's norms live); larger maps fall back to the XLA path. ON by
-default for eligible shapes on TPU (opt out: PEA_DISABLE_FUSED_GN=1).
-Differentiable via custom VJP (backward = XLA group_norm vjp).
+SDXL UNet's norms live); larger maps fall back to the XLA path.
+
+OFF by default (opt in: PEA_FUSED_GROUPNORM=1): the kernel wins in isolation
+(0.62 vs 0.73 ms at (2,32,32,1280); 0.48 vs 0.88 at (4,16,16,1280)) but
+LOSES end-to-end on the SDXL step (4.49 vs 4.23 s/img) — the opaque custom
+call breaks XLA's fusion of the normalize with adjacent SiLU/conv/residual
+elementwise chains, costing more than the saved stats pass. Kept as an
+opt-in building block; the round-2 path is fusing GN INTO the following conv
+or attention projection, not standalone. Differentiable via custom VJP.
 """
 from __future__ import annotations
 
@@ -120,10 +126,9 @@ def _fused_gn_fwd_only(x, scale, bias, groups: int, eps: float = 1e-5,
 
 
 def fused_gn_applicable(x, groups: int) -> bool:
-    """Default ON for eligible shapes on TPU (opt out: PEA_DISABLE_FUSED_GN).
-    Measured on v5e: 0.62 vs 0.73 ms at (2,32,32,1280), 0.48 vs 0.88 at
-    (4,16,16,1280)."""
-    if os.environ.get("PEA_DISABLE_FUSED_GN"):
+    """Opt-in (PEA_FUSED_GROUPNORM=1) — see module docstring: wins in
+    isolation, loses end-to-end by breaking XLA fusion chains."""
+    if os.environ.get("PEA_FUSED_GROUPNORM") != "1":
         return False
     if x.ndim != 4 or x.shape[-1] % groups or x.shape[-1] % 128:
         return False
