@@ -23,7 +23,15 @@ from .safetensors_io import load_safetensors
 
 
 def load_state_dict(directory: str) -> Dict[str, np.ndarray]:
-    """Load a (possibly sharded) torch/safetensors state dict from a dir."""
+    """Load a (possibly sharded) torch/safetensors state dict from a dir,
+    or a single .bin/.pt/.safetensors file path."""
+    if os.path.isfile(directory):
+        if directory.endswith(".safetensors"):
+            return dict(load_safetensors(directory))
+        import torch
+
+        sd = torch.load(directory, map_location="cpu", weights_only=True)
+        return {k: v.float().numpy() for k, v in sd.items()}
     files = sorted(os.listdir(directory))
     st = [f for f in files if f.endswith(".safetensors")]
     if st:
@@ -107,6 +115,48 @@ def load_bert_text(directory: str, roberta: Optional[bool] = None):
         roberta_position_ids=bool(roberta),
     )
     return cfg, tc.convert_bert_text(load_state_dict(directory), cfg.num_layers)
+
+
+def load_open_clip_xlmr(checkpoint_path: str):
+    """open_clip `open_clip_pytorch_model.bin` (xlm-roberta-large-ViT-H-14)
+    -> (cfg, params) for the mul_clip student tower (the reference loads this
+    exact file at train_sdxl_zh.py:98-100). `checkpoint_path` may be the
+    single checkpoint file or its directory."""
+    from ..configs.text_encoder import XLM_ROBERTA_LARGE
+
+    cfg = XLM_ROBERTA_LARGE
+    return cfg, tc.convert_open_clip_xlmr(load_state_dict(checkpoint_path),
+                                          cfg.num_layers)
+
+
+def load_altclip_text(directory: str):
+    """AltCLIP text model dir (HF BAAI/AltCLIP layout or FlagAI
+    AltCLIP-XLMR-L dump) -> (cfg, params) for the alt_clip student
+    (reference train_sdxl_zh.py:115-124)."""
+    from ..configs.text_encoder import ALT_CLIP_XLMR_L, BertTextConfig
+
+    cfg = ALT_CLIP_XLMR_L
+    cfg_path = os.path.join(directory, "config.json") if os.path.isdir(
+        directory) else None
+    if cfg_path and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            c = json.load(f)
+        c = c.get("text_config", c)
+        if "hidden_size" in c:
+            cfg = BertTextConfig(
+                vocab_size=c["vocab_size"], hidden_size=c["hidden_size"],
+                num_layers=c["num_hidden_layers"],
+                num_heads=c["num_attention_heads"],
+                intermediate_size=c["intermediate_size"],
+                max_position_embeddings=c["max_position_embeddings"],
+                type_vocab_size=c.get("type_vocab_size", 1),
+                pad_token_id=c.get("pad_token_id", 1),
+                layer_norm_eps=c.get("layer_norm_eps", 1e-5),
+                roberta_position_ids=True,
+                project_dim=c.get("project_dim", 768),
+            )
+    return cfg, tc.convert_altclip_text(load_state_dict(directory),
+                                        cfg.num_layers)
 
 
 def load_t5_encoder(directory: str):

@@ -181,6 +181,44 @@ def convert_bert_text(sd: StateDict, num_layers: int) -> dict:
     return {"params": p}
 
 
+def convert_open_clip_xlmr(sd: StateDict, num_layers: int) -> dict:
+    """open_clip `xlm-roberta-large-ViT-H-14` checkpoint
+    (`open_clip_pytorch_model.bin`, reference train_sdxl_zh.py:98-100): the
+    HF XLM-RobertaModel lives under `text.transformer.*`; the ViT-H visual
+    tower (`visual.*`), pooled-projection head (`text.proj.*`) and
+    `logit_scale` are not part of the student path (the reference consumes
+    the UNPROJECTED token states via `encode_text` with output_tokens=True,
+    :326-327) and are dropped."""
+    text_sd = {k[len("text.transformer."):]: v for k, v in sd.items()
+               if k.startswith("text.transformer.")}
+    if not text_sd:
+        raise ValueError(
+            "not an open_clip XLM-R checkpoint: no text.transformer.* keys")
+    return convert_bert_text(text_sd, num_layers)
+
+
+def convert_altclip_text(sd: StateDict, num_layers: int) -> dict:
+    """AltCLIP text model (reference alt_clip family, train_sdxl_zh.py:115-124):
+    XLM-R large encoder + `pre_LN` + 1024->768 `transformation` applied to
+    every token state (the third output of get_text_features, :360).
+    Accepts the HF AltCLIPTextModel layout (`roberta.*` / `text_model.*`
+    prefixes) and FlagAI AltCLIP-XLMR-L dumps using the same submodule
+    names."""
+    sd = dict(sd)
+    for prefix in ("text_model.", "model."):
+        if any(k.startswith(prefix + "roberta.") or k.startswith(prefix + "pre_LN")
+               for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items()
+                  if k.startswith(prefix)}
+            break
+    if not any(k.startswith("pre_LN") for k in sd):
+        raise ValueError("not an AltCLIP text checkpoint: no pre_LN keys")
+    params = convert_bert_text(sd, num_layers)["params"]
+    params["pre_ln"] = _norm(sd, "pre_LN")
+    params["transformation"] = _lin(sd, "transformation")
+    return {"params": params}
+
+
 # --- T5 ---------------------------------------------------------------------------
 
 def convert_t5_encoder(sd: StateDict, num_layers: int) -> dict:

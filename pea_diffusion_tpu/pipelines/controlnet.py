@@ -54,13 +54,6 @@ def keep_schedule(num_steps: int, start: float, end: float) -> jnp.ndarray:
     return jnp.asarray(((frac >= start) & (frac <= end)).astype(np.float32))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("models", "controlnet", "sampler_name", "height", "width",
-                     "num_steps", "guidance_scale", "guidance_rescale",
-                     "guess_mode", "control_guidance_start",
-                     "control_guidance_end"),
-)
 def generate_sdxl_controlnet(
     models: PEAModels, controlnet: ControlNet, params: Params,
     controlnet_params, ids, uncond_ids, control_image, rng, *,
@@ -68,6 +61,33 @@ def generate_sdxl_controlnet(
     guidance_scale=7.5, guidance_rescale=0.0,
     controlnet_conditioning_scale=1.0, guess_mode=False,
     control_guidance_start=0.0, control_guidance_end=1.0,
+):
+    """Host wrapper: guidance/conditioning scales are traced operands so new
+    values reuse the compiled program; only guess_mode and the keep-window
+    fractions (which shape the precomputed [S] table) stay static."""
+    return _generate_sdxl_controlnet_jit(
+        models, controlnet, params, controlnet_params, ids, uncond_ids,
+        control_image, rng, jnp.float32(guidance_scale),
+        jnp.float32(guidance_rescale),
+        jnp.float32(controlnet_conditioning_scale),
+        sampler_name=sampler_name, height=height, width=width,
+        num_steps=num_steps, guess_mode=bool(guess_mode),
+        control_guidance_start=float(control_guidance_start),
+        control_guidance_end=float(control_guidance_end))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("models", "controlnet", "sampler_name", "height", "width",
+                     "num_steps", "guess_mode", "control_guidance_start",
+                     "control_guidance_end"),
+)
+def _generate_sdxl_controlnet_jit(
+    models: PEAModels, controlnet: ControlNet, params: Params,
+    controlnet_params, ids, uncond_ids, control_image, rng,
+    guidance_scale, guidance_rescale, controlnet_conditioning_scale, *,
+    sampler_name, height, width, num_steps, guess_mode,
+    control_guidance_start, control_guidance_end,
 ):
     context, pooled = encode_prompt_sdxl(models, params, ids, uncond_ids)
     b = ids.shape[0]

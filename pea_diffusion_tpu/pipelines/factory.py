@@ -31,9 +31,15 @@ def make_text_encoder_fn(family: str, text_cfg, dtype=jnp.float32):
     """Returns (module(s), fn(params, ids) -> [B,T,D]) for a student family."""
     if family in ("chinese_clip", "mul_clip", "alt_clip"):
         enc = BertTextEncoder(text_cfg, dtype=dtype)
+        # AltCLIP projects every token state 1024->768 through pre_LN +
+        # transformation (get_text_features third output,
+        # train_sdxl_zh.py:360); the other BERT towers feed raw token states
+        use_projected = (family == "alt_clip"
+                         and text_cfg.project_dim is not None)
 
         def fn(params, ids):
-            return enc.apply(params, ids).last_hidden_state
+            out = enc.apply(params, ids)
+            return out.projected if use_projected else out.last_hidden_state
 
         return enc, fn
     if family == "mt5":

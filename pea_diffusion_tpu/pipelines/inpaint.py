@@ -50,17 +50,42 @@ def preprocess_image(image: np.ndarray, height: int, width: int) -> np.ndarray:
     return (arr * 2 - 1)[None]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("models", "sampler_name", "height", "width", "num_steps",
-                     "guidance_scale", "guidance_rescale", "strength",
-                     "aesthetic_score"),
-)
 def generate_sdxl_inpaint(
     models: PEAModels, params: Params, ids, uncond_ids, image, mask, rng, *,
     sampler_name="ddim", height=1024, width=1024, num_steps=30,
     guidance_scale=7.5, guidance_rescale=0.0, strength=0.85,
-    aesthetic_score=None,
+    aesthetic_score=None, negative_aesthetic_score=2.5, denoising_start=None,
+):
+    """Host wrapper: guidance, strength, aesthetic_score and denoising_start
+    are traced operands (a new strength reuses the compiled program — the
+    denoise loop runs with a dynamic lower bound). Only the 9-channel switch
+    and the aesthetic-variant time-id shape stay static.
+
+    `denoising_start` (fraction in (0,1), refiner ensemble-of-experts entry,
+    reference tests/test_sdxl_zh_inpaint.py:383-417): when given it overrides
+    the strength-derived start index AND skips the initial noising — the
+    incoming `image` is taken as an already-noised latent trajectory."""
+    return _generate_sdxl_inpaint_jit(
+        models, params, ids, uncond_ids, image, mask, rng,
+        jnp.float32(guidance_scale), jnp.float32(guidance_rescale),
+        jnp.float32(strength),
+        None if aesthetic_score is None else jnp.float32(aesthetic_score),
+        None if aesthetic_score is None
+        else jnp.float32(negative_aesthetic_score),
+        None if denoising_start is None else jnp.float32(denoising_start),
+        sampler_name=sampler_name, height=height, width=width,
+        num_steps=num_steps)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("models", "sampler_name", "height", "width", "num_steps"),
+)
+def _generate_sdxl_inpaint_jit(
+    models: PEAModels, params: Params, ids, uncond_ids, image, mask, rng,
+    guidance_scale, guidance_rescale, strength, aesthetic_score,
+    negative_aesthetic_score, denoising_start, *, sampler_name, height, width,
+    num_steps,
 ):
     """image: [1|B,H,W,3] in [-1,1]; mask: [1|B,H,W,1] binarized."""
     context, pooled = encode_prompt_sdxl(models, params, ids, uncond_ids)
@@ -68,8 +93,16 @@ def generate_sdxl_inpaint(
     k_noise, k_vae1, k_vae2 = jax.random.split(rng, 3)
 
     sampler = make_sampler(sampler_name, models.schedule, num_steps)
-    # strength -> start index (get_timesteps, :383-417)
-    t_start = min(int(num_steps * (1 - strength)), num_steps - 1)
+    # strength -> start index (get_timesteps, :383-417); traced, so the loop
+    # below runs with a dynamic lower bound (lax.while lowering)
+    t_start = jnp.minimum(
+        (num_steps * (1.0 - strength)).astype(jnp.int32), num_steps - 1)
+    if denoising_start is not None:
+        # discrete timestep cutoff: first index whose timestep < cutoff
+        # (diffusers denoising_start semantics, :398-417)
+        cutoff = (models.schedule.num_train_timesteps
+                  * (1.0 - denoising_start))
+        t_start = jnp.argmax((sampler.timesteps < cutoff).astype(jnp.int32))
 
     image = jnp.broadcast_to(image, (b,) + image.shape[1:])
     mask = jnp.broadcast_to(mask, (b,) + mask.shape[1:])
@@ -87,9 +120,22 @@ def generate_sdxl_inpaint(
                           jnp.broadcast_to(t0, (b,)))
     # full-strength start = pure noise (prepare_latents :419-477)
     latents = jnp.where(strength >= 1.0, noise * sampler.init_noise_sigma, init)
+    if denoising_start is not None:
+        # refiner hand-off: continue the trajectory without re-noising
+        # (diffusers adds noise only when denoising_start is None)
+        latents = image_latents
 
-    time_ids = make_add_time_ids((height, width), (0, 0), (height, width),
-                                 2 * b, aesthetic_score=aesthetic_score)
+    if aesthetic_score is not None:
+        # refiner-style [B,5] ids: uncond gets the negative aesthetic score
+        # (reference _get_add_time_ids, tests/test_sdxl_zh_inpaint.py:261-305)
+        tid_u = make_add_time_ids((height, width), (0, 0), (height, width), b,
+                                  aesthetic_score=negative_aesthetic_score)
+        tid_c = make_add_time_ids((height, width), (0, 0), (height, width), b,
+                                  aesthetic_score=aesthetic_score)
+        time_ids = jnp.concatenate([tid_u, tid_c], axis=0)
+    else:
+        time_ids = make_add_time_ids((height, width), (0, 0), (height, width),
+                                     2 * b)
     added = {"text_embeds": pooled, "time_ids": time_ids}
     nine_ch = models.unet.config.in_channels == 9
     mask2 = jnp.concatenate([mask_lat, mask_lat], axis=0)

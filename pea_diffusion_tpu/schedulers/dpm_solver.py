@@ -52,8 +52,13 @@ def make_schedule(
     r0 = h_prev / h
     use_second = np.ones(num_steps, bool)
     use_second[0] = False
-    if lower_order_final and num_steps < 15:
-        use_second[-1] = False
+    # The final entry of the sigma table is 0 (diffusers
+    # final_sigmas_type="zero"), so h -> inf there and the 2nd-order D1 term
+    # diverges: diffusers always drops the last step to first order in this
+    # mode (its `lower_order_final and < 15` branch only applies to
+    # final_sigmas_type="sigma_min"). Verified by trajectory goldens in
+    # tests/test_scheduler_goldens.py.
+    use_second[-1] = False
     # Final step: exp(-h) -> 0 since lam_next -> +inf; keep h finite for safety.
     h = np.clip(h, -700, 700)
     return DPMSchedule(

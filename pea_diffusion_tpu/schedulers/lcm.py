@@ -39,8 +39,12 @@ def make_schedule(
     acp = make_alphas_cumprod(cfg)
     k = cfg.num_train_timesteps // original_inference_steps
     origin = np.arange(1, original_inference_steps + 1) * k - 1  # ascending
-    skip = max(len(origin) // num_steps, 1)
-    ts = origin[::-1][::skip][:num_steps]
+    # diffusers LCMScheduler.set_timesteps selects by endpoint-free linspace
+    # indices (NOT a fixed stride) — differs whenever original_inference_steps
+    # is not a multiple of num_steps
+    idx = np.floor(np.linspace(0, len(origin), num_steps,
+                               endpoint=False)).astype(int)
+    ts = origin[::-1][idx]
     a = np.sqrt(acp[ts])
     s = np.sqrt(1 - acp[ts])
     a_next = np.concatenate([a[1:], [1.0]])
