@@ -5,7 +5,7 @@ each attention implementation and the XLA norm cost, to drive kernel
 choices with hardware numbers instead of interpret-mode guesses
 (VERDICT round-1 items 1 and 4).
 
-Usage: python bench_attention.py [--section attn|norm|all] [--iters 30]
+Usage: python bench_attention.py [--section attn|norm|parity|all] [--iters 30]
 Prints one JSON line per measurement.
 """
 import argparse
@@ -104,6 +104,69 @@ def bench_attn(iters):
     return results
 
 
+def bench_parity():
+    """On-HARDWARE numeric parity (VERDICT r1 item 4): the Pallas one-pass
+    forward and the flash fwd+bwd (custom VJP) vs the XLA reference, at the
+    UNet shapes, asserted — interpret-mode tests can't catch Mosaic lowering
+    differences. bf16 inputs, fp32 comparison."""
+    from pea_diffusion_tpu.ops.attention import xla_attention_bshd
+    from pea_diffusion_tpu.ops.flash_attention import flash_attention
+    from pea_diffusion_tpu.ops.onepass_attention import onepass_forward
+
+    rng = np.random.default_rng(1)
+    out = []
+    for b, h, s, d in [(2, 10, 4096, 64), (2, 20, 1024, 64)]:
+        q = jnp.array(rng.standard_normal((b, s, h * d)), jnp.bfloat16)
+        k = jnp.array(rng.standard_normal((b, s, h * d)), jnp.bfloat16)
+        v = jnp.array(rng.standard_normal((b, s, h * d)), jnp.bfloat16)
+        scale = 1.0 / np.sqrt(d)
+
+        def xla_bshd(q, k, v):
+            return xla_attention_bshd(
+                q.reshape(b, s, h, d), k.reshape(b, s, h, d),
+                v.reshape(b, s, h, d), scale).reshape(b, s, h * d)
+
+        ref = np.asarray(jax.device_get(jax.jit(xla_bshd)(q, k, v)),
+                         np.float32)
+        one = np.asarray(jax.device_get(jax.jit(
+            lambda q, k, v: onepass_forward(q, k, v, h, d, scale))(q, k, v)),
+            np.float32)
+        err_fwd = float(np.abs(one - ref).max())
+
+        def hm(t):
+            return (t.reshape(b, s, h, d).transpose(0, 2, 1, 3)
+                    .reshape(b * h, s, d))
+
+        w = jnp.array(rng.standard_normal(ref.shape), jnp.bfloat16)
+
+        def loss_flash(q, k, v):
+            o = flash_attention(hm(q), hm(k), hm(v), scale=scale)
+            o = (o.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+                 .reshape(b, s, h * d))
+            return jnp.sum(o.astype(jnp.float32) * w.astype(jnp.float32))
+
+        def loss_xla(q, k, v):
+            return jnp.sum(xla_bshd(q, k, v).astype(jnp.float32)
+                           * w.astype(jnp.float32))
+
+        gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+        gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))(q, k, v)
+        errs_g = [float(np.abs(np.asarray(jax.device_get(a), np.float32)
+                               - np.asarray(jax.device_get(r), np.float32)).max())
+                  for a, r in zip(gf, gx)]
+        # bf16 inputs, O(1) values, row-sums over S: rounding-dominated
+        gscale = float(np.sqrt(s))  # grad magnitudes grow with the w-sum
+        rec = {"bench": "parity", "shape": [b, h, s, d],
+               "onepass_fwd_max_abs_err": err_fwd,
+               "flash_grad_max_abs_err": errs_g,
+               "device": str(jax.devices()[0])}
+        print(json.dumps(rec), flush=True)
+        assert err_fwd < 2e-2, rec
+        assert all(e < 0.25 * gscale / 32 for e in errs_g), rec
+        out.append(rec)
+    return out
+
+
 def bench_calibration(iters):
     """Floor of the timing harness (fori_loop + relay dispatch overhead):
     an elementwise add on a small tensor. Subtract this from sub-ms ops."""
@@ -177,7 +240,7 @@ def bench_norm(iters):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--section", default="all",
-                    choices=["attn", "norm", "calib", "all"])
+                    choices=["attn", "norm", "calib", "parity", "all"])
     ap.add_argument("--iters", type=int, default=300)
     args = ap.parse_args()
 
@@ -197,6 +260,8 @@ def main():
         bench_attn(args.iters)
     if args.section in ("norm", "all"):
         bench_norm(args.iters)
+    if args.section in ("parity", "all"):
+        bench_parity()
 
 
 if __name__ == "__main__":

@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--no-remat", action="store_true",
                     help="skip jax.checkpoint on the UNet fwds (more HBM, fewer FLOPs)")
+    ap.add_argument("--remat-policy", default="full",
+                    choices=["full", "dots"],
+                    help="dots = save matmul outputs, recompute the rest "
+                         "(selective remat; the mb8 HBM/FLOPs middle ground)")
     args = ap.parse_args()
 
     import jax
@@ -80,6 +84,7 @@ def main():
         schedule=SDXL_SCHEDULE,
         vae_scaling=vae_cfg.scaling_factor,
         remat=not args.no_remat,
+        remat_policy=args.remat_policy,
     )
 
     # host-side random params (shapes from eval_shape; bf16 frozen towers)

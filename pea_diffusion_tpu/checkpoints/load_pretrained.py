@@ -76,8 +76,39 @@ def load_vae(model_dir: str):
     return cfg, tc.convert_vae(load_state_dict(d), cfg)
 
 
-def load_clip_text(directory: str, with_projection: bool = False):
-    """transformers CLIPText{Model,ModelWithProjection} dir -> (cfg, params)."""
+def load_controlnet(directory: str, dtype=None):
+    """diffusers ControlNetModel dir -> (ControlNetConfig, flax params)
+    (ControlNetModel.from_pretrained analog,
+    tests/test_sdxl_zh_controlnet.py:169)."""
+    from ..configs.unet import ControlNetConfig, UNetConfig
+
+    with open(os.path.join(directory, "config.json")) as f:
+        c = json.load(f)
+    # ControlNetModel configs carry no out_channels (no output head)
+    c.setdefault("out_channels", c.get("in_channels", 4))
+    cfg = ControlNetConfig(
+        unet=UNetConfig.from_diffusers_config(c),
+        conditioning_channels=c.get("conditioning_channels", 3),
+        conditioning_embedding_channels=tuple(
+            c.get("conditioning_embedding_out_channels", (16, 32, 96, 256))),
+    )
+    params = tc.convert_controlnet(load_state_dict(directory), cfg)
+    if dtype is not None:
+        import jax
+
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+    return cfg, params
+
+
+def load_clip_text(directory: str, with_projection: bool = False,
+                   lora_paths=(), lora_scales=(),
+                   component: str = "text_encoder"):
+    """transformers CLIPText{Model,ModelWithProjection} dir -> (cfg, params).
+
+    `lora_paths` fuse the text-encoder halves of LoRA files before
+    conversion (the reference's load_lora_weights also carries te/te2
+    LoRAs, tests/test_sdxl_zh.py:148-149); pass component="text_encoder_2"
+    for the bigG tower so each file's deltas route to the right module."""
     from ..configs.text_encoder import CLIPTextConfig
 
     with open(os.path.join(directory, "config.json")) as f:
@@ -91,7 +122,12 @@ def load_clip_text(directory: str, with_projection: bool = False):
         eos_token_id=c.get("eos_token_id", 49407),
         projection_dim=c.get("projection_dim") if with_projection else None,
     )
-    return cfg, tc.convert_clip_text(load_state_dict(directory), cfg.num_layers)
+    sd = load_state_dict(directory)
+    for path, scale in zip(lora_paths,
+                           list(lora_scales) + [1.0] * len(lora_paths)):
+        sd = merge_lora_into_state_dict(sd, load_safetensors(path), scale,
+                                        component=component)
+    return cfg, tc.convert_clip_text(sd, cfg.num_layers)
 
 
 def load_bert_text(directory: str, roberta: Optional[bool] = None):
@@ -157,6 +193,36 @@ def load_altclip_text(directory: str):
             )
     return cfg, tc.convert_altclip_text(load_state_dict(directory),
                                         cfg.num_layers)
+
+
+def load_student_tower(family: str, directory: str,
+                       directory_zh: Optional[str] = None):
+    """Family-dispatched student text-tower loading (the 5-way encoder
+    switch, train_sdxl_zh.py:96-134) -> (text_cfg, text_params) shaped for
+    `pipelines.factory.make_text_encoder_fn(family, text_cfg)`:
+
+    - chinese_clip: transformers Chinese-CLIP/BERT dir        (:103-107)
+    - mul_clip:     open_clip xlm-roberta-large checkpoint    (:96-101)
+    - alt_clip:     AltCLIP text dir (HF or FlagAI dump)      (:115-124)
+    - mt5:          transformers mT5 dir                      (:109-113)
+    - mul_zh:       mul_clip dir + `directory_zh` Chinese dir (:125-134);
+                    returns ((mul_cfg, zh_cfg), {"mul","zh"} params)
+    """
+    if family == "mt5":
+        return load_t5_encoder(directory)
+    if family == "mul_clip":
+        return load_open_clip_xlmr(directory)
+    if family == "alt_clip":
+        return load_altclip_text(directory)
+    if family == "mul_zh":
+        if directory_zh is None:
+            raise ValueError("mul_zh needs a second (Chinese) encoder dir")
+        mul_cfg, mul_params = load_open_clip_xlmr(directory)
+        zh_cfg, zh_params = load_bert_text(directory_zh)
+        return (mul_cfg, zh_cfg), {"mul": mul_params, "zh": zh_params}
+    if family == "chinese_clip":
+        return load_bert_text(directory)
+    raise ValueError(f"unknown text-encoder family: {family}")
 
 
 def load_t5_encoder(directory: str):

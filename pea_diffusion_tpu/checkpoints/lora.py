@@ -24,17 +24,26 @@ Array = np.ndarray
 
 
 def _kohya_to_diffusers(key: str) -> str:
-    """lora_unet_down_blocks_1_attentions_0_... -> down_blocks.1...."""
-    key = re.sub(r"^lora_unet_", "", key)
-    key = re.sub(r"^lora_te\d*_", "text_encoder.", key)
+    """lora_unet_down_blocks_1_attentions_0_... -> down_blocks.1....
+    lora_te2_* is the bigG tower (text_encoder_2); lora_te_/lora_te1_ the
+    CLIP-L tower (kohya sdxl naming)."""
+    m = re.match(r"^lora_(unet|te\d?)_(.*)$", key)
+    if not m:
+        return key  # already diffusers/peft-dotted — do not touch
+    prefix = {"unet": "", "te": "text_encoder.", "te1": "text_encoder.",
+              "te2": "text_encoder_2."}[m.group(1)]
+    rest = m.group(2)
     # replace _ with . only between path segments that diffusers dots
     for pat in ("down_blocks", "up_blocks", "mid_block", "transformer_blocks",
                 "attentions", "resnets", "attn1", "attn2", "to_q", "to_k",
                 "to_v", "to_out", "proj_in", "proj_out", "ff", "net", "time_emb_proj",
-                "conv1", "conv2", "conv_shortcut"):
-        key = key.replace("_" + pat, "." + pat)
-        key = key.replace(pat + "_", pat + ".")
-    return key
+                "conv1", "conv2", "conv_shortcut",
+                # CLIP text-encoder segments (lora_te*_text_model_...)
+                "text_model", "encoder", "layers", "self_attn", "q_proj",
+                "k_proj", "v_proj", "out_proj", "mlp", "fc1", "fc2"):
+        rest = rest.replace("_" + pat, "." + pat)
+        rest = rest.replace(pat + "_", pat + ".")
+    return prefix + rest
 
 
 def extract_lora_pairs(lora_sd: Dict[str, Array]):

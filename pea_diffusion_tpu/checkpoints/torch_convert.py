@@ -436,6 +436,58 @@ def flax_to_diffusers_unet(params: dict, config) -> Dict[str, Array]:
     return sd
 
 
+def convert_controlnet(sd: StateDict, config) -> dict:
+    """diffusers ControlNetModel state_dict -> models.controlnet.ControlNet
+    params (the reference loads ControlNetModel.from_pretrained,
+    tests/test_sdxl_zh_controlnet.py:169). Shares the UNet down/mid naming;
+    adds `controlnet_cond_embedding.{conv_in,blocks.N,conv_out}` ->
+    cond_embedder and `controlnet_{down_blocks.N,mid_block}` -> zero convs
+    (both sides append in identical down-path traversal order)."""
+    cfg = config.unet
+    p: dict = {
+        "conv_in": _conv(sd, "conv_in"),
+        "time_embedding": {
+            "linear_1": _lin(sd, "time_embedding.linear_1"),
+            "linear_2": _lin(sd, "time_embedding.linear_2"),
+        },
+    }
+    if cfg.addition_embed_type == "text_time":
+        p["add_embedding"] = {
+            "linear_1": _lin(sd, "add_embedding.linear_1"),
+            "linear_2": _lin(sd, "add_embedding.linear_2"),
+        }
+    emb = {"conv_in": _conv(sd, "controlnet_cond_embedding.conv_in"),
+           "conv_out": _conv(sd, "controlnet_cond_embedding.conv_out")}
+    nblocks = 2 * (len(config.conditioning_embedding_channels) - 1)
+    for i in range(nblocks):
+        emb[f"conv_{i}"] = _conv(sd, f"controlnet_cond_embedding.blocks.{i}")
+    p["cond_embedder"] = emb
+    zc = 0
+    p["zero_conv_0"] = _conv(sd, "controlnet_down_blocks.0")
+    zc = 1
+    for i in range(cfg.num_blocks):
+        depths = cfg.down_block_layers(i)
+        for j in range(cfg.layers_per_block):
+            p[f"down_{i}_resnet_{j}"] = _resnet(sd, f"down_blocks.{i}.resnets.{j}")
+            if depths[j] > 0:
+                p[f"down_{i}_attn_{j}"] = _transformer2d(
+                    sd, f"down_blocks.{i}.attentions.{j}", depths[j])
+            p[f"zero_conv_{zc}"] = _conv(sd, f"controlnet_down_blocks.{zc}")
+            zc += 1
+        if i < cfg.num_blocks - 1:
+            p[f"down_{i}_downsample"] = {
+                "conv": _conv(sd, f"down_blocks.{i}.downsamplers.0.conv")}
+            p[f"zero_conv_{zc}"] = _conv(sd, f"controlnet_down_blocks.{zc}")
+            zc += 1
+    p["mid_resnet_0"] = _resnet(sd, "mid_block.resnets.0")
+    p["mid_resnet_1"] = _resnet(sd, "mid_block.resnets.1")
+    if cfg.mid_transformer_layers > 0:
+        p["mid_attn"] = _transformer2d(
+            sd, "mid_block.attentions.0", cfg.mid_transformer_layers)
+    p["zero_conv_mid"] = _conv(sd, "controlnet_mid_block")
+    return {"params": p}
+
+
 def _vae_attention(sd, pre):
     return {
         "attn_norm": _norm(sd, f"{pre}.group_norm"),

@@ -1,14 +1,16 @@
-"""CLIP-score evaluation: score generated images against their (Chinese)
-prompts with a converted Chinese-CLIP (or OpenAI-CLIP) dual tower.
+"""CLIP-score + FID evaluation of generated images with a converted
+Chinese-CLIP (or OpenAI-CLIP) dual tower.
 
 The reference repo has no eval code (quality numbers live in the paper,
 SURVEY.md §6); this closes the loop so adapter checkpoints can be compared
-on the paper's metric without leaving the framework.
+on the paper's metrics without leaving the framework. FID uses the same
+CLIP vision tower as the feature extractor (CLIP-FID, arXiv:2203.06026 —
+utils/fid.py).
 
 Usage:
   python -m pea_diffusion_tpu.cli.evaluate \
       --clip-dir /ckpts/chinese-clip-vit-huge-patch14 \
-      --images out/*.png --prompts prompts.txt
+      --images out/*.png --prompts prompts.txt [--fid-ref real/*.png]
 """
 from __future__ import annotations
 
@@ -30,8 +32,12 @@ def main(argv=None):
     ap.add_argument("--clip-dir", required=True,
                     help="transformers ChineseCLIPModel/CLIPModel dir")
     ap.add_argument("--images", nargs="+", required=True)
-    ap.add_argument("--prompts", required=True,
-                    help="text file, one prompt per image (or a single prompt)")
+    ap.add_argument("--prompts",
+                    help="text file, one prompt per image (or a single "
+                         "prompt); optional when only --fid-ref is wanted")
+    ap.add_argument("--fid-ref", nargs="+",
+                    help="reference image files: adds CLIP-FID between "
+                         "--images and this set")
     ap.add_argument("--max-length", type=int, default=52)
     args = ap.parse_args(argv)
 
@@ -48,24 +54,30 @@ def main(argv=None):
         preprocess_clip_image,
     )
 
-    with open(args.prompts) as f:
-        prompts = [ln.strip() for ln in f if ln.strip()]
-    if len(prompts) == 1:
-        prompts = prompts * len(args.images)
-    assert len(prompts) == len(args.images)
+    if not args.prompts and not args.fid_ref:
+        ap.error("need --prompts (CLIP-score) and/or --fid-ref (FID)")
+    prompts = None
+    if args.prompts:
+        with open(args.prompts) as f:
+            prompts = [ln.strip() for ln in f if ln.strip()]
+        if len(prompts) == 1:
+            prompts = prompts * len(args.images)
+        assert len(prompts) == len(args.images)
 
     # text tower
     text_cfg, text_params = load_bert_text(args.clip_dir)
     text_enc = BertTextEncoder(text_cfg)
-    from transformers import AutoTokenizer
-    tok = AutoTokenizer.from_pretrained(args.clip_dir)
-    ids = tok(prompts, padding="max_length", max_length=args.max_length,
-              truncation=True, return_tensors="np")["input_ids"]
-    # Chinese-CLIP text feature = [CLS] state @ text_projection
     sd = load_state_dict(args.clip_dir)
-    tproj = sd.get("text_projection.weight")
-    pooled = text_enc.apply(text_params, jnp.asarray(ids)).pooled
-    tfeat = pooled @ jnp.asarray(tproj).T if tproj is not None else pooled
+    tfeat = None
+    if prompts is not None:
+        from transformers import AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(args.clip_dir)
+        ids = tok(prompts, padding="max_length", max_length=args.max_length,
+                  truncation=True, return_tensors="np")["input_ids"]
+        # Chinese-CLIP text feature = [CLS] state @ text_projection
+        tproj = sd.get("text_projection.weight")
+        pooled = text_enc.apply(text_params, jnp.asarray(ids)).pooled
+        tfeat = pooled @ jnp.asarray(tproj).T if tproj is not None else pooled
 
     # vision tower
     cfgj = json.load(open(f"{args.clip_dir}/config.json"))
@@ -81,16 +93,29 @@ def main(argv=None):
     )
     vision = CLIPVisionEncoder(vcfg)
     vparams = convert_clip_vision(sd, vcfg.num_layers)
-    imgs = np.stack([np.asarray(Image.open(p).convert("RGB")) for p in args.images])
-    pix = preprocess_clip_image(imgs, vcfg.image_size)
-    vout = vision.apply(vparams, jnp.asarray(pix))
-    vfeat = vout.projected if vout.projected is not None else vout.pooled
 
-    scores = np.asarray(clip_score(tfeat, vfeat))
-    for path, s in zip(args.images, scores):
-        print(f"{s:.4f}  {path}")
-    print(json.dumps({"metric": "CLIP-score", "value": float(scores.mean()),
-                      "n": len(scores)}))
+    def image_features(paths):
+        imgs = np.stack(
+            [np.asarray(Image.open(p).convert("RGB")) for p in paths])
+        pix = preprocess_clip_image(imgs, vcfg.image_size)
+        vout = vision.apply(vparams, jnp.asarray(pix))
+        return vout.projected if vout.projected is not None else vout.pooled
+
+    vfeat = image_features(args.images)
+
+    if tfeat is not None:
+        scores = np.asarray(clip_score(tfeat, vfeat))
+        for path, s in zip(args.images, scores):
+            print(f"{s:.4f}  {path}")
+        print(json.dumps({"metric": "CLIP-score",
+                          "value": float(scores.mean()), "n": len(scores)}))
+    if args.fid_ref:
+        from ..utils.fid import fid_from_features
+        ref_feat = image_features(args.fid_ref)
+        fid = fid_from_features(np.asarray(vfeat), np.asarray(ref_feat))
+        print(json.dumps({"metric": "CLIP-FID", "value": round(fid, 4),
+                          "n": len(args.images),
+                          "n_ref": len(args.fid_ref)}))
 
 
 if __name__ == "__main__":

@@ -52,7 +52,7 @@ def build_real(args):
 
     from ..configs.adapter import ADAPTER_PRESETS
     from ..checkpoints.load_pretrained import (
-        load_bert_text, load_t5_encoder, load_unet, load_vae)
+        load_student_tower, load_unet, load_vae)
     from ..checkpoints.orbax_io import import_adapter
     from ..models.adapter import PEAAdapter
     from ..pipelines.factory import build_models
@@ -62,10 +62,8 @@ def build_real(args):
         args.model_dir, lora_paths=args.lora or (),
         lora_scales=args.lora_scale or (), dtype=jnp.bfloat16)
     vae_cfg, vae_params = load_vae(args.model_dir)
-    if args.family == "mt5":
-        text_cfg, text_params = load_t5_encoder(args.text_encoder_dir)
-    else:
-        text_cfg, text_params = load_bert_text(args.text_encoder_dir)
+    text_cfg, text_params = load_student_tower(
+        args.family, args.text_encoder_dir, args.text_encoder_dir_2)
     adapter_cfg = ADAPTER_PRESETS[args.adapter_preset]
     models = build_models(family=args.family, text_cfg=text_cfg,
                           adapter_cfg=adapter_cfg, unet_cfg=unet_cfg,
@@ -79,11 +77,23 @@ def build_real(args):
     }
 
     from transformers import AutoTokenizer
-    tok = AutoTokenizer.from_pretrained(args.text_encoder_dir)
+    tok = AutoTokenizer.from_pretrained(
+        args.tokenizer_dir or args.text_encoder_dir)
 
-    def tokenize(texts):
-        return tok(texts, padding="max_length", max_length=args.max_length,
-                   truncation=True, return_tensors="np")["input_ids"]
+    def mk(t):
+        def fn(texts):
+            return t(texts, padding="max_length",
+                     max_length=args.max_length, truncation=True,
+                     return_tensors="np")["input_ids"]
+        return fn
+
+    tokenize = mk(tok)
+    if args.family == "mul_zh":  # dual tokenization -> dict ids (:373-381)
+        tok_zh = AutoTokenizer.from_pretrained(
+            args.tokenizer_dir_2 or args.text_encoder_dir_2)
+        tok_mul, tok_zh_fn = tokenize, mk(tok_zh)
+        tokenize = lambda texts: {"mul": tok_mul(texts),  # noqa: E731
+                                  "zh": tok_zh_fn(texts)}
 
     return models, params, tokenize, args.size
 
@@ -93,10 +103,15 @@ def main(argv=None):
     ap.add_argument("--demo", action="store_true")
     ap.add_argument("--model-dir")
     ap.add_argument("--text-encoder-dir")
+    ap.add_argument("--text-encoder-dir-2",
+                    help="mul_zh: the Chinese tower dir (second encoder)")
+    ap.add_argument("--tokenizer-dir")
+    ap.add_argument("--tokenizer-dir-2")
     ap.add_argument("--adapter")
     ap.add_argument("--adapter-preset", default="sdxl_chinese_clip")
     ap.add_argument("--family", default="chinese_clip",
-                    choices=["chinese_clip", "mul_clip", "mt5", "alt_clip"])
+                    choices=["chinese_clip", "mul_clip", "mt5", "alt_clip",
+                             "mul_zh"])
     ap.add_argument("--lora", nargs="*")
     ap.add_argument("--lora-scale", nargs="*", type=float)
     ap.add_argument("--prompt", default="一只戴着帽子的可爱猫咪")

@@ -101,32 +101,32 @@ def build_real(args):
     from ..configs.adapter import ADAPTER_PRESETS
     from ..configs.train import DataConfig
     from ..checkpoints.load_pretrained import (
-        load_bert_text, load_clip_text, load_t5_encoder, load_unet, load_vae)
+        load_clip_text, load_student_tower, load_unet, load_vae)
     from ..checkpoints.orbax_io import import_adapter
     from ..data.pipeline import make_train_iterator
     from ..models.adapter import PEAAdapter
-    from ..models.bert_text import BertTextEncoder
     from ..models.clip_text import CLIPTextEncoder
-    from ..models.mt5 import T5Encoder
     from ..models.unet import UNet2DCondition
     from ..models.vae import AutoencoderKL
+    from ..pipelines.factory import make_text_encoder_fn
     from ..schedulers import SDXL_SCHEDULE
     from ..train.kd import KDModels
 
-    unet_cfg, unet_params = load_unet(args.model_dir, dtype=jnp.bfloat16)
+    loras, lscales = args.lora or (), args.lora_scale or ()
+    unet_cfg, unet_params = load_unet(args.model_dir, lora_paths=loras,
+                                      lora_scales=lscales, dtype=jnp.bfloat16)
     vae_cfg, vae_params = load_vae(args.model_dir)
-    if args.family == "mt5":
-        text_cfg, text_params = load_t5_encoder(args.text_encoder_dir)
-        enc = T5Encoder(text_cfg, dtype=jnp.bfloat16)
-        text_fn = lambda p, ids: enc.apply(p, ids)  # noqa: E731
-    else:
-        text_cfg, text_params = load_bert_text(args.text_encoder_dir)
-        enc = BertTextEncoder(text_cfg, dtype=jnp.bfloat16)
-        text_fn = lambda p, ids: enc.apply(p, ids).last_hidden_state  # noqa: E731
+    text_cfg, text_params = load_student_tower(
+        args.family, args.text_encoder_dir, args.text_encoder_dir_2)
+    _, text_fn = make_text_encoder_fn(args.family, text_cfg,
+                                      dtype=jnp.bfloat16)
 
-    c1_cfg, c1_params = load_clip_text(f"{args.model_dir}/text_encoder")
-    c2_cfg, c2_params = load_clip_text(f"{args.model_dir}/text_encoder_2",
-                                       with_projection=True)
+    c1_cfg, c1_params = load_clip_text(
+        f"{args.model_dir}/text_encoder", lora_paths=loras,
+        lora_scales=lscales, component="text_encoder")
+    c2_cfg, c2_params = load_clip_text(
+        f"{args.model_dir}/text_encoder_2", with_projection=True,
+        lora_paths=loras, lora_scales=lscales, component="text_encoder_2")
     models = KDModels(
         adapter=PEAAdapter(ADAPTER_PRESETS[args.adapter_preset]),
         unet=UNet2DCondition(unet_cfg, dtype=jnp.bfloat16),
@@ -149,7 +149,8 @@ def build_real(args):
             jnp.zeros((1, 8, models.adapter.config.in_dim)))
 
     from transformers import AutoTokenizer, CLIPTokenizer
-    tok = AutoTokenizer.from_pretrained(args.text_encoder_dir)
+    tok = AutoTokenizer.from_pretrained(
+        args.tokenizer_dir or args.text_encoder_dir)
     tok1 = CLIPTokenizer.from_pretrained(f"{args.model_dir}/tokenizer")
     tok2 = CLIPTokenizer.from_pretrained(f"{args.model_dir}/tokenizer_2")
 
@@ -159,11 +160,17 @@ def build_real(args):
                      truncation=True, return_tensors="np")["input_ids"]
         return fn
 
+    tokenize_zh = None
+    if args.family == "mul_zh":  # second (Chinese) tokenizer, :373-381
+        tok_zh = AutoTokenizer.from_pretrained(
+            args.tokenizer_dir_2 or args.text_encoder_dir_2)
+        tokenize_zh = mk_tok(tok_zh, args.max_length)
+
     data_cfg = DataConfig(urls=tuple(args.urls), batch_size=args.batch_size,
                           num_workers=args.num_workers)
     batches = make_train_iterator(
         data_cfg, mk_tok(tok, args.max_length),
-        [mk_tok(tok1, 77), mk_tok(tok2, 77)])
+        [mk_tok(tok1, 77), mk_tok(tok2, 77)], tokenize_zh)
     return models, frozen, adapter_params, batches
 
 
@@ -172,9 +179,21 @@ def main(argv=None):
     ap.add_argument("--demo", action="store_true")
     ap.add_argument("--model-dir")
     ap.add_argument("--text-encoder-dir")
-    ap.add_argument("--family", default="chinese_clip")
+    ap.add_argument("--text-encoder-dir-2",
+                    help="mul_zh: the Chinese tower dir (second encoder)")
+    ap.add_argument("--tokenizer-dir",
+                    help="override tokenizer dir (e.g. xlm-roberta-large for "
+                         "a bare open_clip checkpoint file)")
+    ap.add_argument("--tokenizer-dir-2")
+    ap.add_argument("--family", default="chinese_clip",
+                    choices=["chinese_clip", "mul_clip", "mt5", "alt_clip",
+                             "mul_zh"])
     ap.add_argument("--adapter-preset", default="sdxl_chinese_clip")
     ap.add_argument("--resume-adapter")
+    ap.add_argument("--lora", nargs="*",
+                    help="LoRA safetensors fused into teacher UNet + CLIP "
+                         "towers before training (LCM-LoRA distillation)")
+    ap.add_argument("--lora-scale", nargs="*", type=float)
     ap.add_argument("--urls", nargs="+", default=[])
     ap.add_argument("--batch-size", type=int, default=10)
     ap.add_argument("--num-workers", type=int, default=2)

@@ -58,10 +58,11 @@ class DataConfig:
     # webdataset-format shard urls, `::`-separated groups with brace ranges
     # (utils/custom_dataset_sdxl.py:43-51)
     urls: Tuple[str, ...] = ()
+    # decode+preprocess thread-pool width (pipeline.parallel_map; the
+    # MultiProcessingReadingService worker count, custom_dataset_sdxl.py:212)
     num_workers: int = 2
     batch_size: int = 10
     resolution: int = 512
-    hr_size: int = -1
     center_crop: bool = False
     # True: 9-bucket aspect batching (SDXL path, custom_dataset_sdxl.py);
     # False: fixed square `resolution` (SD1.5 path, custom_dataset.py:79-186)
@@ -72,7 +73,6 @@ class DataConfig:
     val_split: float = 0.0
     test_split: float = 0.0
     shuffle_buffer: int = 1000
-    max_token_length: int = 77
     # quality filters (utils/custom_dataset_sdxl.py:59-66)
     min_area: int = 640 * 640
     min_aesthetic: float = 6.0

@@ -47,16 +47,26 @@ class BucketBatcher:
     def _pop_batch(self, i: int) -> List:
         return [self.buffers[i].popleft() for _ in range(self.batch_size)]
 
+    def _pick_any(self) -> int:
+        return self.rng.choices(range(len(self.probs)),
+                                weights=self.probs, k=1)[0]
+
     def __call__(self, samples: Iterable[dict]) -> Iterator[List[dict]]:
+        """Probability-FIRST multiplexing (custom_multiplexer.py:77-95): the
+        next bucket is drawn from `probs` over ALL buckets before looking at
+        fill state, and held until that bucket can serve a full batch — so
+        the emitted batch distribution tracks `probs` whenever the inflow
+        can sustain it (ready-set-weighted picking is arrival-biased; see
+        tests/test_data.py bucket-distribution regression). Buffer pressure
+        drains the largest bucket instead (mydemux._find_next semantics)."""
+        target = self._pick_any()
         for s in samples:
             self.buffers[s["bucket_id"]].append(s)
-            # emit when the weighted choice has a full batch
-            ready = self._ready()
-            if ready:
-                yield self._pop_batch(self._pick(ready))
-            elif self._total() >= self.max_total_buffer:
-                # buffer pressure: drain the largest bucket even if the
-                # weighted pick isn't ready (mydemux._find_next semantics)
+            while len(self.buffers[target]) >= self.batch_size:
+                yield self._pop_batch(target)
+                target = self._pick_any()
+            if self._total() >= self.max_total_buffer:
+                # pressure: the held target isn't filling — drain the largest
                 largest = max(range(len(self.buffers)),
                               key=lambda i: len(self.buffers[i]))
                 if len(self.buffers[largest]) >= self.batch_size:

@@ -20,9 +20,34 @@ from ..configs.train import DataConfig
 from . import buckets as B
 from . import captions as C
 from .multiplexer import BucketBatcher
-from .wds_reader import expand_urls, sample_stream, split_by_process, split_shards
+from .wds_reader import (decode_sample, expand_urls, sample_stream,
+                         split_by_process, split_shards)
 
 TokenizeFn = Callable[[List[str]], np.ndarray]  # texts -> [B, T] int ids
+
+
+def parallel_map(fn, it, workers: int, prefetch: Optional[int] = None):
+    """Ordered, bounded thread-pool map (the MultiProcessingReadingService
+    analog, utils/custom_dataset_sdxl.py:212-215 — threads instead of
+    processes because PIL jpeg decode/resize release the GIL, so decode
+    scales on host cores without pickling batches). `None` results pass
+    through for the caller to filter. Bounded in-flight window keeps host
+    RAM flat when the consumer stalls on a device step."""
+    if workers <= 1:
+        yield from map(fn, it)
+        return
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    depth = prefetch or workers * 4
+    with ThreadPoolExecutor(workers) as ex:
+        futs: deque = deque()
+        for item in it:
+            futs.append(ex.submit(fn, item))
+            if len(futs) >= depth:
+                yield futs.popleft().result()
+        while futs:
+            yield futs.popleft().result()
 
 
 @dataclasses.dataclass
@@ -77,6 +102,7 @@ def collate(
     examples: List[dict],
     tokenize: TokenizeFn,
     teacher_tokenize: Optional[Sequence[TokenizeFn]] = None,
+    tokenize_zh: Optional[TokenizeFn] = None,
 ) -> Dict[str, np.ndarray]:
     """Same-bucket batch -> arrays (collate_fn,
     utils/custom_dataset_sdxl.py:384-409). Student ids are tokenized here
@@ -108,6 +134,9 @@ def collate(
     batch["time_ids"] = np.concatenate(
         [batch["original_size"], batch["crops_coords_top_left"],
          np.tile(np.array([[th, tw]], np.float32), (n, 1))], axis=1)
+    if tokenize_zh is not None:  # mul_zh dual student tokenization
+        batch["input_ids_zh"] = tokenize_zh(prompts)
+        batch["input_ids_uncond_zh"] = tokenize_zh([""] * n)
     if teacher_tokenize is not None:
         for i, tok in enumerate(teacher_tokenize, start=1):
             batch[f"teacher_ids_{i}"] = tok(batch["texts_en"])
@@ -119,12 +148,15 @@ def make_train_iterator(
     cfg: DataConfig,
     tokenize: TokenizeFn,
     teacher_tokenize: Optional[Sequence[TokenizeFn]] = None,
+    tokenize_zh: Optional[TokenizeFn] = None,
     *,
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
     seed: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Shard-partitioned, bucketed, batched stream of train batches."""
+    """Shard-partitioned, bucketed, batched stream of train batches.
+    Decode + preprocess run on a `cfg.num_workers`-thread pool over RAW
+    (compressed) samples; the shuffle buffer holds bytes, not pixels."""
     all_shards = expand_urls(list(cfg.urls))
     if cfg.train_split < 1.0:
         all_shards, _, _ = split_shards(
@@ -133,12 +165,21 @@ def make_train_iterator(
     if not shards:
         raise ValueError("no shards for this process")
     pre = Preprocessor(cfg, tokenize, cfg.center_crop, seed)
+
+    def decode_and_pre(raw):
+        s = decode_sample(raw)
+        if s is None or "jpg" not in s:
+            return None
+        return pre(s)
+
     stream = sample_stream(shards, shuffle_buffer=cfg.shuffle_buffer,
-                           seed=seed, resample=cfg.resample_shards)
-    processed = (p for s in stream if (p := pre(s)) is not None)
+                           seed=seed, resample=cfg.resample_shards,
+                           decode=False)
+    processed = (p for p in parallel_map(decode_and_pre, stream,
+                                         cfg.num_workers) if p is not None)
     batcher = BucketBatcher(B.BUCKET_PROBS, cfg.batch_size, seed=seed)
     for batch in batcher(processed):
-        yield collate(batch, tokenize, teacher_tokenize)
+        yield collate(batch, tokenize, teacher_tokenize, tokenize_zh)
 
 
 class DevicePrefetcher:

@@ -192,6 +192,9 @@ def _raw_stream(shards, *, shuffle, resample, seed, epochs, handler,
         yield from iter_tar_samples(shard, handler)
 
 
+_IMAGE_EXTS = ("jpg", "jpeg", "png", "webp")
+
+
 def sample_stream(
     shards: Sequence[str],
     *,
@@ -201,16 +204,25 @@ def sample_stream(
     epochs: Optional[int] = None,
     resample: bool = False,
     use_native: bool = True,
+    decode: bool = True,
 ) -> Iterator[Dict]:
-    """Full decode stream with a reservoir shuffle buffer."""
+    """Sample stream with a reservoir shuffle buffer. decode=True yields
+    PIL/dict samples; decode=False yields raw {ext: bytes} dicts so callers
+    can decode on a worker pool — the shuffle buffer then holds compressed
+    bytes (~10x less host RAM than decoded RGB at 640^2)."""
     rng = random.Random(seed + 1)
     buf: List[Dict] = []
     for raw in _raw_stream(shards, shuffle=True, resample=resample, seed=seed,
                            epochs=epochs, handler=handler,
                            use_native=use_native):
-        sample = decode_sample(raw, handler)
-        if sample is None or "jpg" not in sample:
-            continue
+        if decode:
+            sample = decode_sample(raw, handler)
+            if sample is None or "jpg" not in sample:
+                continue
+        else:
+            if not any(e in raw for e in _IMAGE_EXTS):
+                continue
+            sample = raw
         if shuffle_buffer <= 1:
             yield sample
             continue

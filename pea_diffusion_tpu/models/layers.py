@@ -76,18 +76,31 @@ def group_norm(x, scale, bias, num_groups: int, eps: float):
 
 
 class GroupNorm(nn.Module):
+    """GroupNorm with an optionally fused trailing activation and preceding
+    per-(sample,channel) bias add (`extra_bias`, the resnet time-emb
+    pattern). On TPU, eligible (act="silu", VMEM-sized) maps run the one-pass
+    Pallas kernel (ops/groupnorm.py); everything else is the XLA path with
+    identical math."""
+
     num_groups: int = 32
     eps: float = 1e-5
+    act: str = "none"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, extra_bias=None):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         from ..ops.groupnorm import fused_gn_applicable, fused_group_norm
-        if fused_gn_applicable(x, self.num_groups):
-            return fused_group_norm(x, scale, bias, self.num_groups, self.eps)
-        return group_norm(x, scale, bias, self.num_groups, self.eps)
+        if fused_gn_applicable(x, self.num_groups, self.act):
+            return fused_group_norm(x, scale, bias, self.num_groups, self.eps,
+                                    self.act, extra_bias)
+        if extra_bias is not None:
+            x = x + extra_bias[:, None, None, :].astype(x.dtype)
+        y = group_norm(x, scale, bias, self.num_groups, self.eps)
+        if self.act == "silu":
+            y = nn.silu(y)
+        return y
 
 
 class ResnetBlock2D(nn.Module):
@@ -102,16 +115,17 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x, temb: Optional[jnp.ndarray] = None):
         in_channels = x.shape[-1]
-        h = GroupNorm(self.norm_num_groups, self.eps, name="norm1")(x)
-        h = nn.silu(h)
+        h = GroupNorm(self.norm_num_groups, self.eps, act="silu",
+                      name="norm1")(x)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv1")(h)
+        t = None
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          name="time_emb_proj")(nn.silu(temb))
-            h = h + t[:, None, None, :]
-        h = GroupNorm(self.norm_num_groups, self.eps, name="norm2")(h)
-        h = nn.silu(h)
+        # time-emb add + GN + silu fuse into one HBM pass on TPU
+        h = GroupNorm(self.norm_num_groups, self.eps, act="silu",
+                      name="norm2")(h, extra_bias=t)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if in_channels != self.out_channels:

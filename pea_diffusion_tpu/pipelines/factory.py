@@ -54,7 +54,18 @@ def make_text_encoder_fn(family: str, text_cfg, dtype=jnp.float32):
         enc_zh = BertTextEncoder(text_cfg[1], dtype=dtype)
 
         def fn(params, ids):
-            # ids: dict with "mul" and "zh" token ids
+            # ids: dict with "mul" and "zh" token ids, SAME sequence length.
+            # NB the reference's own mul_zh branch (train_sdxl_zh.py:373-381)
+            # feature-concatenates open_clip token states [B,64,1024] with
+            # cn_clip's POOLED output [B,1024] — shape-inconsistent as
+            # written; per-token concat at equal lengths is the only reading
+            # consistent with its MLP(2048, ...) projector (:134).
+            if ids["mul"].shape[1] != ids["zh"].shape[1]:
+                raise ValueError(
+                    "mul_zh requires both tokenizations padded to the same "
+                    f"length (feature-axis concat); got mul T={ids['mul'].shape[1]} "
+                    f"zh T={ids['zh'].shape[1]} — set equal max_length for "
+                    "both tokenizers")
             a = enc_mul.apply(params["mul"], ids["mul"]).last_hidden_state
             b = enc_zh.apply(params["zh"], ids["zh"]).last_hidden_state
             return jnp.concatenate([a, b], axis=-1)

@@ -32,6 +32,22 @@ from .sampling import Sampler, make_sampler, rescale_noise_cfg
 Params = Dict[str, Any]
 
 
+def ids_batch_size(ids) -> int:
+    """Leading batch dim of token ids; the mul_zh family carries ids as a
+    {"mul": [B,T], "zh": [B,T']} dict (dual tokenizers,
+    train_sdxl_zh.py:125-134) — every other family a single [B,T] array."""
+    if isinstance(ids, dict):
+        return next(iter(ids.values())).shape[0]
+    return ids.shape[0]
+
+
+def as_ids(ids):
+    """np/list -> jnp, mapped over dict-of-ids for mul_zh."""
+    if isinstance(ids, dict):
+        return {k: jnp.asarray(v) for k, v in ids.items()}
+    return jnp.asarray(ids)
+
+
 @dataclasses.dataclass(frozen=True)
 class PEAModels:
     """Modules of one PEA deployment (hashable/static; params travel
@@ -164,7 +180,7 @@ def generate_sd(models: PEAModels, params: Params, ids, uncond_ids, rng, *,
                 guidance_scale=7.5):
     context = encode_prompt_sd(models, params, ids, uncond_ids)
     sampler = make_sampler(sampler_name, models.schedule, num_steps)
-    b = ids.shape[0]
+    b = ids_batch_size(ids)
     lat_shape = (b, height // 8, width // 8, models.unet.config.in_channels)
     noise = jax.random.normal(rng, lat_shape, jnp.float32)
 
@@ -211,7 +227,7 @@ def _generate_sdxl_jit(models: PEAModels, params: Params, ids, uncond_ids,
                        sampler_name, height, width, num_steps, do_cfg,
                        original_size, crops_coords_top_left, target_size):
     context, pooled = encode_prompt_sdxl(models, params, ids, uncond_ids)
-    b = ids.shape[0]
+    b = ids_batch_size(ids)
     if not do_cfg:  # LCM / turbo few-step path: conditional half only
         context, pooled = context[b:], pooled[b:]
     sampler = make_sampler(sampler_name, models.schedule, num_steps)
@@ -276,7 +292,7 @@ def _refine_sdxl_jit(models: PEAModels, params: Params, ids, uncond_ids,
                      sampler_name, num_steps, original_size,
                      crops_coords_top_left):
     context, pooled = encode_prompt_sdxl(models, params, ids, uncond_ids)
-    b = ids.shape[0]
+    b = ids_batch_size(ids)
     sampler = make_sampler(sampler_name, models.schedule, num_steps)
     size = (latents.shape[1] * 8, latents.shape[2] * 8)
     osize = original_size or size
@@ -334,7 +350,7 @@ class StableDiffusionPEAPipeline:
     def __call__(self, ids, uncond_ids, *, height=512, width=512, num_steps=30,
                  guidance_scale=7.5, seed=0):
         imgs = generate_sd(
-            self.models, self.params, jnp.asarray(ids), jnp.asarray(uncond_ids),
+            self.models, self.params, as_ids(ids), as_ids(uncond_ids),
             jax.random.PRNGKey(seed), sampler_name=self.sampler_name,
             height=height, width=width, num_steps=num_steps,
             guidance_scale=float(guidance_scale))
@@ -353,7 +369,7 @@ class StableDiffusionXLPEAPipeline:
     def __call__(self, ids, uncond_ids, *, height=1024, width=1024,
                  num_steps=30, guidance_scale=7.5, guidance_rescale=0.0, seed=0):
         imgs = generate_sdxl(
-            self.models, self.params, jnp.asarray(ids), jnp.asarray(uncond_ids),
+            self.models, self.params, as_ids(ids), as_ids(uncond_ids),
             jax.random.PRNGKey(seed), sampler_name=self.sampler_name,
             height=height, width=width, num_steps=num_steps,
             guidance_scale=float(guidance_scale),

@@ -60,6 +60,12 @@ class KDModels:
     schedule: NoiseScheduleConfig = NoiseScheduleConfig()
     vae_scaling: float = 0.13025
     remat: bool = True
+    # "full": recompute everything in the backward (min HBM, max FLOPs);
+    # "dots": save matmul/conv outputs, recompute elementwise+norms only
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — the
+    # selective policy that fits micro-batch 8 @640^2 where full-remat
+    # throughput loss isn't warranted (VERDICT r1 item 5)
+    remat_policy: str = "full"
     # fp32 VAE encode of the full micro-batch spikes HBM (640^2x128 fp32
     # activations); lax.map over chunks caps the live set — encode cost is
     # negligible next to the two UNet passes. None = no chunking.
@@ -139,9 +145,16 @@ def kd_loss(
     timesteps = jax.random.randint(r_t, (b,), 0, models.schedule.num_train_timesteps)
     noisy = ddpm.add_noise(sched, latents, noise, timesteps).astype(unet_dtype)
 
-    # 3. student text encoding (frozen, :324-381)
-    hs = models.text_encoder_fn(frozen["text"], batch["input_ids"])
-    hs_u = models.text_encoder_fn(frozen["text"], batch["input_ids_uncond"])
+    # 3. student text encoding (frozen, :324-381). mul_zh carries dual
+    # tokenizations (XLM-R + Chinese-CLIP concat towers, :125-134,:373-381):
+    # ids travel as {"mul","zh"} dicts matching the factory's concat fn.
+    ids = batch["input_ids"]
+    ids_u = batch["input_ids_uncond"]
+    if "input_ids_zh" in batch:
+        ids = {"mul": ids, "zh": batch["input_ids_zh"]}
+        ids_u = {"mul": ids_u, "zh": batch["input_ids_uncond_zh"]}
+    hs = models.text_encoder_fn(frozen["text"], ids)
+    hs_u = models.text_encoder_fn(frozen["text"], ids_u)
     hs = jax.lax.stop_gradient(hs)
     hs_u = jax.lax.stop_gradient(hs_u)
 
@@ -167,7 +180,14 @@ def kd_loss(
         return models.unet.apply(unet_params, x, t, ctx, add,
                                  capture_features=True)
 
-    unet_apply = jax.checkpoint(unet_fwd) if models.remat else unet_fwd
+    if not models.remat:
+        unet_apply = unet_fwd
+    elif models.remat_policy == "dots":
+        unet_apply = jax.checkpoint(
+            unet_fwd,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    else:
+        unet_apply = jax.checkpoint(unet_fwd)
 
     # 6. student UNet forward with feature taps (:397)
     noise_pred, feats_s = unet_apply(frozen["unet"], noisy, timesteps, seq, added)

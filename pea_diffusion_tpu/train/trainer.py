@@ -22,8 +22,10 @@ from ..utils.metrics import MetricLogger, ProfilerWindow
 from .kd import KDModels, KDState, make_train_step
 
 ARRAY_KEYS = (
-    "pixel_values", "input_ids", "input_ids_uncond", "teacher_ids_1",
-    "teacher_ids_2", "teacher_uncond_ids_1", "teacher_uncond_ids_2",
+    "pixel_values", "input_ids", "input_ids_uncond",
+    "input_ids_zh", "input_ids_uncond_zh",  # mul_zh second tower
+    "teacher_ids_1", "teacher_ids_2",
+    "teacher_uncond_ids_1", "teacher_uncond_ids_2",
     "time_ids", "zh_or_not",
 )
 
@@ -100,7 +102,7 @@ class KDTrainer:
         return self.state
 
     def warmup(self, batch_size: int, text_len: int, teacher_len: int = 77,
-               buckets=None):
+               buckets=None, text_len_zh: Optional[int] = None):
         """Pre-compile the train step for every aspect-bucket shape (9 jit
         cache entries — same-bucket batching keeps shapes static, SURVEY.md
         §7 hard part 5). Call before `fit` to avoid mid-training compiles."""
@@ -122,6 +124,11 @@ class KDTrainer:
                     "time_ids": np.zeros((batch_size, 6), np.float32),
                     "zh_or_not": np.zeros((batch_size,), np.float32),
                 }
+                if text_len_zh is not None:  # mul_zh dual tokenization
+                    batch["input_ids_zh"] = np.zeros(
+                        (batch_size, text_len_zh), np.int32)
+                    batch["input_ids_uncond_zh"] = np.zeros(
+                        (batch_size, text_len_zh), np.int32)
                 if self.models.teacher_clip2 is None:
                     batch.pop("teacher_ids_2")
                     batch.pop("teacher_uncond_ids_2")

@@ -21,3 +21,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+# Modules dominated by full-pipeline XLA compiles (minutes each on CPU).
+# Fast feedback loop: `pytest -m "not slow"` (~3 min); full suite for CI.
+_SLOW_MODULES = {
+    "test_pipelines", "test_pipelines_modes", "test_kd_train",
+    "test_kd_sd15", "test_trainer", "test_mul_zh", "test_flash_vjp",
+    "test_onepass_attention",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-pipeline compile tests (minutes on CPU)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

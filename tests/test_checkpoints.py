@@ -66,6 +66,33 @@ def test_lora_fusion_formats(fmt):
         merged[f"{base}.weight"], expected, atol=1e-6)
 
 
+@pytest.mark.parametrize("fmt", ["peft", "kohya"])
+def test_lora_text_encoder_component_routing(fmt):
+    """te/te2 LoRA halves fuse into the matching CLIP tower only
+    (reference load_lora_weights carries them, tests/test_sdxl_zh.py:148)."""
+    rng = np.random.RandomState(2)
+    w = rng.randn(8, 6).astype(np.float32)
+    down = rng.randn(2, 6).astype(np.float32)
+    up = rng.randn(8, 2).astype(np.float32)
+    path = "text_model.encoder.layers.0.self_attn.q_proj"
+    sd = {f"{path}.weight": w}
+    if fmt == "peft":
+        lora = {f"text_encoder_2.{path}.lora_A.weight": down,
+                f"text_encoder_2.{path}.lora_B.weight": up}
+    else:
+        kbase = "lora_te2_text_model_encoder_layers_0_self_attn_q_proj"
+        lora = {f"{kbase}.lora_down.weight": down,
+                f"{kbase}.lora_up.weight": up}
+    # wrong component: untouched
+    kept = merge_lora_into_state_dict(sd, lora, 1.0, component="text_encoder")
+    np.testing.assert_array_equal(kept[f"{path}.weight"], w)
+    # right component: fused
+    merged = merge_lora_into_state_dict(sd, lora, 1.0,
+                                        component="text_encoder_2")
+    np.testing.assert_allclose(merged[f"{path}.weight"], w + up @ down,
+                               atol=1e-6)
+
+
 def test_lora_to_out_zero_suffix():
     rng = np.random.RandomState(1)
     w = rng.randn(4, 4).astype(np.float32)

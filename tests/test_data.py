@@ -132,6 +132,34 @@ def test_bucket_batcher_same_bucket():
         assert len({s["bucket_id"] for s in batch}) == 1
 
 
+def test_bucket_batcher_distribution_tracks_probs():
+    """Emitted batch distribution must track BUCKET_PROBS when the inflow
+    sustains it (probability-FIRST pick, custom_multiplexer.py:77-95 —
+    ready-set-weighted picking is arrival-biased and fails this)."""
+    rng = np.random.RandomState(7)
+    n = 50_000
+    samples = ({"bucket_id": int(b)}
+               for b in rng.choice(9, n, p=B.BUCKET_PROBS))
+    counts = np.zeros(9)
+    for batch in BucketBatcher(B.BUCKET_PROBS, 8, seed=1)(samples):
+        counts[batch[0]["bucket_id"]] += 1
+    emitted = counts / counts.sum()
+    # total-variation distance to the target distribution
+    tv = 0.5 * np.abs(emitted - np.asarray(B.BUCKET_PROBS)).sum()
+    assert counts.sum() >= 0.95 * (n // 8), "batcher dropped too many samples"
+    assert tv < 0.03, (tv, emitted)
+
+
+def test_bucket_batcher_pressure_liveness():
+    """All-one-bucket inflow with a low-probability target must still emit
+    (mydemux largest-bucket drain, buffer pressure)."""
+    samples = ({"bucket_id": 4} for _ in range(5000))
+    batches = list(BucketBatcher(B.BUCKET_PROBS, 8, max_total_buffer=64,
+                                 seed=0)(samples))
+    assert len(batches) >= 500
+    assert all(b[0]["bucket_id"] == 4 for b in batches)
+
+
 def _tok(max_len=12, vocab=100):
     def fn(texts):
         out = np.zeros((len(texts), max_len), np.int32)
