@@ -74,14 +74,20 @@ def main():
         vae_dtype=vae_dtype)
     # host-side init (numpy, no device compiles), bf16 big towers, then one
     # device_put — init-time remote compiles would otherwise dominate
+    import sys
     import numpy as np
-    params = init_params_host(models, "chinese_clip", text_cfg, seq_len=52)
-    params = {
-        k: (jax.tree.map(lambda x: x.astype(
-                np.float32 if k == "adapter"
-                else (vae_dtype if k == "vae" else jnp.bfloat16)), v))
-        for k, v in params.items()
-    }
+    _t = time.time()
+
+    def phase(msg):
+        print(f"[bench +{time.time() - _t:.0f}s] {msg}", file=sys.stderr,
+              flush=True)
+
+    phase("init_params_host")
+    params = init_params_host(
+        models, "chinese_clip", text_cfg, seq_len=52,
+        dtypes={"text": jnp.bfloat16, "adapter": np.float32,
+                "unet": jnp.bfloat16, "vae": vae_dtype})
+    phase("device_put")
     params = jax.device_put(params, jax.devices()[0])
 
     B, T = args.batch, 52  # Chinese-CLIP context length
@@ -103,9 +109,11 @@ def main():
         checksum = float(jax.device_get(img.mean()))
         return checksum
 
+    phase("first run (trace+compile)")
     t0 = time.time()
     run(0)
     compile_s = time.time() - t0
+    phase(f"compiled in {compile_s:.0f}s; timing")
 
     times = []
     for i in range(args.repeats):

@@ -11,14 +11,23 @@ Applicability: the per-sample map plus two fp32 temporaries must fit the
 VMEM stack (<= ~1.4M elements — the 32x32x1280-class maps where most of the
 SDXL UNet's norms live); larger maps fall back to the XLA path.
 
-Round-1 lesson (standalone-GN variant, act="none"): the kernel wins in
-isolation (0.62 vs 0.73 ms at (2,32,32,1280)) but LOSES end-to-end — the
-opaque custom call breaks XLA's fusion of the normalize with the ADJACENT
-silu/residual elementwise chain. Round 2 therefore fuses the whole
-GN(+add)->silu chain INSIDE the kernel (nothing elementwise is left outside
-to orphan), used by ResnetBlock2D via GroupNorm(act="silu"). act="none"
-standalone use stays opt-in (PEA_FUSED_GROUPNORM=1); act="silu" defaults ON
-(PEA_FUSED_GROUPNORM=0 disables). Differentiable via custom VJP.
+TWO measured negative results — OFF by default (opt in with
+PEA_FUSED_GROUPNORM=1):
+- round 1, standalone GN (act="none"): wins in isolation (0.62 vs 0.73 ms at
+  (2,32,32,1280)) but loses 6% end-to-end — the opaque custom call breaks
+  XLA's fusion of the normalize with the ADJACENT silu/residual chain.
+- round 2, whole-chain variant (temb add + GN + silu inside the kernel,
+  nothing elementwise left outside to orphan; used by ResnetBlock2D via
+  GroupNorm(act="silu")): wins 2.27x geomean in the on-chip microbench
+  (bench_groupnorm.py) yet STILL loses 5.4% end-to-end (0.2432 vs 0.257
+  img/s SDXL-1024) and costs +18 min program compile — the custom-call
+  BOUNDARY itself is the problem: XLA can no longer fuse the preceding
+  conv's epilogue into the norm input nor start the following conv's
+  prologue from registers. Conclusion for this platform: XLA's own
+  norm lowering inside a fused program beats any opaque norm kernel;
+  speed-of-light here means leaving the chain to the compiler.
+Differentiable via custom VJP; kept as an opt-in building block and as the
+measurement harness for future XLA-fusion regressions.
 """
 from __future__ import annotations
 
@@ -36,21 +45,61 @@ from jax.experimental.pallas import tpu as pltpu
 MAX_ELEMENTS = 1_400_000  # includes 32x32x1280 (13MB peak VMEM, measured OK)
 
 
-def _gn_stats_normalize(x, scale_ref, bias_ref, o_ref, *, groups, eps, act,
-                        h, w, c):
+# fp32 temporaries inside the kernel are CHUNKED over rows so the scoped
+# VMEM stack holds only (chunk_h * w * c) fp32 at a time — a whole-block
+# fp32 copy of (1,32,32,1280) plus the affine result blew the 16MB budget
+# (measured: 19.94M scoped allocation)
+_CHUNK_ELEMENTS = 360_000
+
+
+def _chunk_rows(h: int, w: int, c: int) -> int:
+    """Largest divisor of h whose chunk stays under _CHUNK_ELEMENTS."""
+    best = 1
+    for ch in range(1, h + 1):
+        if h % ch == 0 and ch * w * c <= _CHUNK_ELEMENTS:
+            best = ch
+    return best
+
+
+def _gn_body(x_ref, t, scale_ref, bias_ref, o_ref, *, groups, eps, act):
+    """GN(x + t) WITHOUT materializing x + t (or even a full fp32 x): the
+    per-channel bias t shifts the moments analytically —
+        E_hw[(x+t)_c] = m_c + t_c,   E_hw[(x+t)_c^2] = q_c + 2 t_c m_c + t_c^2
+    — and the normalize collapses to one per-channel affine y = x*A + B with
+        A_c = inv_c * scale_c,  B_c = (t_c - mean_c) * A_c + bias_c.
+    Stats and affine both stream the block in row chunks."""
+    h, w, c = x_ref.shape[1:]
     cg = c // groups
-    s1 = jnp.sum(x, axis=0, keepdims=True)  # [1, C]
-    s2 = jnp.sum(x * x, axis=0, keepdims=True)  # [1, C]
+    hw = h * w
+    ch = _chunk_rows(h, w, c)
+    n_chunks = h // ch
+
+    def load(i):
+        xb = x_ref[0, pl.ds(i * ch, ch)]
+        return xb.reshape(ch * w, c).astype(jnp.float32)
+
+    def stat_body(i, carry):
+        s1, s2 = carry
+        xf = load(i)
+        return (s1 + jnp.sum(xf, axis=0, keepdims=True),
+                s2 + jnp.sum(xf * xf, axis=0, keepdims=True))
+
+    zeros = jnp.zeros((1, c), jnp.float32)
+    s1, s2 = jax.lax.fori_loop(0, n_chunks, stat_body, (zeros, zeros))
+    m_c = s1 / hw                                     # [1, C] mean
+    q_c = s2 / hw                                     # [1, C] E[x^2]
+    if t is not None:
+        q_c = q_c + 2.0 * t * m_c + t * t
+        m_c = m_c + t
     # group reduction via an indicator matmul — Mosaic cannot lower a
     # [C] -> (G, cg) shape cast, but [1,C]x[C,G] rides the MXU fine
     chan_group = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 0) // cg
     group_id = jax.lax.broadcasted_iota(jnp.int32, (c, groups), 1)
     m = (chan_group == group_id).astype(jnp.float32)  # [C, G]
-    n = h * w * cg
-    g1 = jax.lax.dot_general(s1, m, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) / n  # [1,G]
-    g2 = jax.lax.dot_general(s2, m, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) / n
+    g1 = jax.lax.dot_general(m_c, m, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) / cg  # [1,G]
+    g2 = jax.lax.dot_general(q_c, m, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) / cg
     var_g = jnp.maximum(g2 - g1 * g1, 0.0)
     inv_g = jax.lax.rsqrt(var_g + eps)
     # broadcast back per channel: [1,G] x [G,C]
@@ -60,17 +109,23 @@ def _gn_stats_normalize(x, scale_ref, bias_ref, o_ref, *, groups, eps, act,
                                 preferred_element_type=jnp.float32)
     scale = scale_ref[:].astype(jnp.float32)
     bias = bias_ref[:].astype(jnp.float32)
-    y = (x - mean_c) * inv_c * scale + bias
-    if act == "silu":
-        y = y * jax.nn.sigmoid(y)
-    o_ref[0] = y.reshape(h, w, c).astype(o_ref.dtype)
+    a = inv_c * scale
+    shift = -mean_c if t is None else t - mean_c
+    b = shift * a + bias
+
+    def norm_body(i, _):
+        y = load(i) * a + b
+        if act == "silu":
+            y = y * jax.nn.sigmoid(y)
+        o_ref[0, pl.ds(i * ch, ch)] = y.reshape(ch, w, c).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, norm_body, 0)
 
 
 def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups, eps, act):
-    h, w, c = x_ref.shape[1:]
-    x = x_ref[0].reshape(h * w, c).astype(jnp.float32)
-    _gn_stats_normalize(x, scale_ref, bias_ref, o_ref, groups=groups,
-                        eps=eps, act=act, h=h, w=w, c=c)
+    _gn_body(x_ref, None, scale_ref, bias_ref, o_ref, groups=groups,
+             eps=eps, act=act)
 
 
 def _gn_bias_kernel(x_ref, t_ref, scale_ref, bias_ref, o_ref, *,
@@ -78,11 +133,9 @@ def _gn_bias_kernel(x_ref, t_ref, scale_ref, bias_ref, o_ref, *,
     """GN(x + t) with a per-(sample,channel) bias t — the resnet norm2
     pattern where the time-embedding projection is added right before the
     norm (diffusers ResnetBlock2D default time_embedding_norm)."""
-    h, w, c = x_ref.shape[1:]
-    x = x_ref[0].reshape(h * w, c).astype(jnp.float32)
-    x = x + t_ref[0].astype(jnp.float32)  # t block [1,1,C] -> [1,C] rows
-    _gn_stats_normalize(x, scale_ref, bias_ref, o_ref, groups=groups,
-                        eps=eps, act=act, h=h, w=w, c=c)
+    t = t_ref[0].astype(jnp.float32)  # [1, C]
+    _gn_body(x_ref, t, scale_ref, bias_ref, o_ref, groups=groups,
+             eps=eps, act=act)
 
 
 def fused_group_norm(x, scale, bias, groups: int, eps: float = 1e-5,
@@ -200,15 +253,11 @@ def _fused_gn_fwd_only(x, scale, bias, groups: int, eps: float = 1e-5,
 
 
 def fused_gn_applicable(x, groups: int, act: str = "none") -> bool:
-    """act="silu" (the whole resnet GN->silu chain lives in the kernel —
-    nothing left outside for XLA to orphan) defaults ON; act="none"
-    (standalone GN, loses end-to-end by breaking XLA fusion chains — round-1
-    negative result) stays opt-in. PEA_FUSED_GROUPNORM=1 forces all on,
-    =0 forces all off."""
+    """Opt-in only (PEA_FUSED_GROUPNORM=1): both kernel designs beat XLA in
+    isolation but LOSE end-to-end by severing XLA's fusion chains at the
+    custom-call boundary — see module docstring for the measurements."""
     env = os.environ.get("PEA_FUSED_GROUPNORM")
-    if env == "0":
-        return False
-    if env != "1" and act == "none":
+    if env != "1":
         return False
     if x.ndim != 4 or x.shape[-1] % groups or x.shape[-1] % 128:
         return False

@@ -100,30 +100,67 @@ def build_models(
 
 
 def init_params_host(models: PEAModels, family: str, text_cfg,
-                     seq_len: int = 16, seed: int = 0) -> Dict[str, Any]:
+                     seq_len: int = 16, seed: int = 0,
+                     dtypes: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
     """Random params built host-side with jax.eval_shape + numpy (NO device
     compilation) — for benchmarks and smoke runs where init-time compiles of
     full-size towers would dominate (the remote-compile path makes on-device
-    init of SDXL towers take minutes)."""
+    init of SDXL towers take minutes). `dtypes` optionally maps top-level
+    keys ("text"/"adapter"/"unet"/"vae") to a storage dtype, applied during
+    materialization (a separate whole-tree astype pass costs minutes of
+    1-core host CPU on the 2.9B-param SDXL stack)."""
     import numpy as np
 
-    rng = np.random.RandomState(seed)
+    # A fresh standard_normal per leaf costs ~12 min of host CPU for the
+    # 2.9B-param SDXL stack on a 1-core host. Benchmarks only need
+    # well-scaled, non-degenerate values, so tile from a 1M-element pool
+    # (near-memcpy); offsets vary per leaf so leaves aren't identical.
+    rng = np.random.Generator(np.random.SFC64(seed))
+    pool32 = (rng.standard_normal(1_000_003) * 0.02).astype(np.float32)
+    pools: Dict[Any, Any] = {np.dtype(np.float32): pool32}
 
-    def materialize(tree):
+    def pool_for(dt):
+        dt = np.dtype(dt)
+        if dt not in pools:
+            pools[dt] = pool32.astype(dt)  # one 1M-element cast, not 2.9B
+        return pools[dt]
+
+    def materialize(tree, dtype=None):
+        state = {"off": 0}
+
         def leaf(path, s):
+            dt = np.dtype(dtype if dtype is not None else s.dtype)
             name = str(path[-1].key) if hasattr(path[-1], "key") else ""
             if name in ("scale",) or name.endswith("scale"):
-                return np.ones(s.shape, s.dtype)
+                return np.ones(s.shape, dt)
             if name == "bias":
-                return np.zeros(s.shape, s.dtype)
-            return (rng.standard_normal(s.shape) * 0.02).astype(s.dtype)
+                return np.zeros(s.shape, dt)
+            pool = pool_for(dt)
+            n = int(np.prod(s.shape)) if s.shape else 1
+            off = state["off"] % len(pool)
+            state["off"] += n
+            # copy through raw byte views: both np.tile and slice-assign on
+            # ml_dtypes bf16 arrays fall into a ~4MB/s per-element cast path
+            isz = dt.itemsize
+            src = pool.view(np.uint8)
+            flat = np.empty(n * isz, np.uint8)
+            first = min(n, len(pool) - off) * isz
+            flat[:first] = src[off * isz:off * isz + first]
+            filled = first
+            while filled < n * isz:
+                m = min(len(pool) * isz, n * isz - filled)
+                flat[filled:filled + m] = src[:m]
+                filled += m
+            return flat.view(dt).reshape(s.shape)
 
         return jax.tree_util.tree_map_with_path(leaf, tree)
 
     shapes = jax.eval_shape(
         lambda: _init_params_impl(models, family, text_cfg,
                                   jax.random.PRNGKey(0), seq_len))
-    return materialize(shapes)
+    if dtypes is None:
+        return materialize(shapes)
+    return {k: materialize(v, dtypes.get(k)) for k, v in shapes.items()}
 
 
 def init_params(models: PEAModels, family: str, text_cfg, rng,
