@@ -22,6 +22,13 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--no-remat", action="store_true",
                     help="skip jax.checkpoint on the UNet fwds (more HBM, fewer FLOPs)")
+    ap.add_argument("--vae-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 frees ~300MB HBM (params + encode "
+                         "activations) — the margin micro-batch 8 needs")
+    ap.add_argument("--vae-chunk", type=int, default=2,
+                    help="fp32 VAE-encode chunk size (1 halves the encode "
+                         "activation spike; KDModels.vae_encode_chunk)")
     ap.add_argument("--remat-policy", default="full",
                     choices=["full", "dots"],
                     help="dots = save matmul outputs, recompute the rest "
@@ -77,7 +84,8 @@ def main():
     models = KDModels(
         adapter=PEAAdapter(adapter_cfg),
         unet=UNet2DCondition(unet_cfg, dtype=jnp.bfloat16),
-        vae=AutoencoderKL(vae_cfg, dtype=jnp.float32),
+        vae=AutoencoderKL(vae_cfg, dtype=(jnp.bfloat16
+                          if args.vae_dtype == "bfloat16" else jnp.float32)),
         text_encoder_fn=lambda p, ids: enc.apply(p, ids).last_hidden_state,
         teacher_clip1=CLIPTextEncoder(c1, dtype=jnp.bfloat16),
         teacher_clip2=CLIPTextEncoder(c2, dtype=jnp.bfloat16),
@@ -85,6 +93,7 @@ def main():
         vae_scaling=vae_cfg.scaling_factor,
         remat=not args.no_remat,
         remat_policy=args.remat_policy,
+        vae_encode_chunk=args.vae_chunk,
     )
 
     # host-side random params (shapes from eval_shape; bf16 frozen towers)
@@ -118,7 +127,8 @@ def main():
         "teacher_clip2": jax.eval_shape(
             lambda: models.teacher_clip2.init(jax.random.PRNGKey(0), tids0)),
     }
-    frozen = {k: materialize(v, np.float32 if k == "vae" else jnp.bfloat16)
+    vdt = np.float32 if args.vae_dtype == "float32" else jnp.bfloat16
+    frozen = {k: materialize(v, vdt if k == "vae" else jnp.bfloat16)
               for k, v in shapes.items()}
     adapter_shapes = jax.eval_shape(lambda: models.adapter.init(
         jax.random.PRNGKey(0), jnp.zeros((1, T, adapter_cfg.in_dim))))
