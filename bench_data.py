@@ -20,7 +20,11 @@ import numpy as np
 def write_shards(root: str, n_shards: int, per_shard: int, size: int = 704):
     from PIL import Image
 
+    # smooth gradient images, not noise: JPEG-encoding white noise is
+    # pathological (huge files, slow encode AND decode) and would measure
+    # libjpeg worst-case, not a realistic photo workload
     rng = np.random.RandomState(0)
+    yy = np.arange(size + 64, dtype=np.uint8)
     for s in range(n_shards):
         path = os.path.join(root, f"{s:05d}.tar")
         with tarfile.open(path, "w") as tf:
@@ -28,8 +32,9 @@ def write_shards(root: str, n_shards: int, per_shard: int, size: int = 704):
                 # vary aspect ratio so several buckets get traffic
                 w = size + 64 * (i % 3 - 1)
                 h = size - 64 * (i % 3 - 1)
-                img = Image.fromarray(
-                    rng.randint(0, 255, (h, w, 3), np.uint8))
+                base = np.add.outer(yy[:h], yy[:w]).astype(np.uint8)
+                img = Image.fromarray(np.stack(
+                    [base, base[::-1], np.roll(base, i, 0)], axis=-1))
                 buf = io.BytesIO()
                 img.save(buf, format="JPEG", quality=90)
                 data = buf.getvalue()
@@ -75,10 +80,15 @@ def main():
                              shuffle_buffer=64)
             it = make_train_iterator(cfg, tok, [lambda t: tok(t, 77)] * 2,
                                      process_index=0, process_count=1)
+            # the iterator is an infinite training stream (epochs loop) —
+            # bound by sample count; first batch excluded (fill warmup)
+            next(it)
             n = 0
             t0 = time.time()
             for batch in it:
                 n += batch["pixel_values"].shape[0]
+                if n >= total:
+                    break
             dt = time.time() - t0
             print(json.dumps({
                 "metric": "input pipeline samples/sec (decode+bucket+collate)",
