@@ -85,16 +85,33 @@ def test_inpaint_strength_change_no_recompile(setup):
 
 def test_ensemble_denoising_window(setup):
     """base denoising_end -> latents; refiner denoising_start -> image.
-    (refiner here shares the tiny UNet; the wiring under test is the
-    window math + aesthetic time-ids, reference
+    The refiner stage needs its OWN UNet config: aesthetic-score
+    conditioning is [B,5] time-ids, so add_embedding's input is
+    pooled + 5*time_embed_dim (vs the base's 6 ids — reference
     tests/test_sdxl_zh_inpaint.py:383-417,:261-305)."""
+    import dataclasses
+
+    from pea_diffusion_tpu.configs.unet import SDXL_UNET_TINY, VAE_TINY
+
     models, params, ids, uncond = setup
     latents = generate_sdxl(models, params, ids, uncond,
                             jax.random.PRNGKey(0), sampler_name="ddim",
                             height=H, width=W, num_steps=4,
                             guidance_scale=7.5, denoising_end=0.5)
     assert latents.shape == (B, H // 8, W // 8, 4)  # undecoded trajectory
-    img = refine_sdxl(models, params, ids, uncond, latents,
+
+    r_ucfg = dataclasses.replace(
+        SDXL_UNET_TINY,
+        projection_class_embeddings_input_dim=32 * 5 + 64)  # 5 ids + pooled
+    pooled = 64
+    r_models = build_models(
+        family="chinese_clip", text_cfg=BERT_TINY,
+        adapter_cfg=AdapterConfig(64, (96, pooled),
+                                  head_dim=r_ucfg.cross_attention_dim),
+        unet_cfg=r_ucfg, vae_cfg=VAE_TINY, dtype=jnp.float32)
+    r_params = init_params(r_models, "chinese_clip", BERT_TINY,
+                           jax.random.PRNGKey(7), seq_len=T)
+    img = refine_sdxl(r_models, r_params, ids, uncond, latents,
                       jax.random.PRNGKey(1), sampler_name="ddim",
                       num_steps=4, denoising_start=0.5)
     assert img.ndim == 4 and img.shape[-1] == 3
