@@ -33,7 +33,23 @@ def main():
                     choices=["full", "dots"],
                     help="dots = save matmul outputs, recompute the rest "
                          "(selective remat; the mb8 HBM/FLOPs middle ground)")
+    ap.add_argument("--tap-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="feature-KD MSE diff dtype (KDModels."
+                         "feature_tap_dtype); bfloat16 is the last HBM "
+                         "lever for micro-batch 8 @640^2")
+    ap.add_argument("--compare-tap-dtype", type=int, default=0, metavar="N",
+                    help="numerics mode: run N identical steps (same init, "
+                         "same batch, same rngs) with fp32 AND bf16 taps; "
+                         "print per-step loss/grad-norm traces + deltas")
+    ap.add_argument("--no-dpad", action="store_true",
+                    help="flash attention without D->128 padding "
+                         "(PEA_FLASH_NO_DPAD): ~35%% slower kernels, halved "
+                         "attention HBM buffers — the mb8 memory lever")
     args = ap.parse_args()
+    if args.no_dpad:
+        import os as _os
+        _os.environ["PEA_FLASH_NO_DPAD"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -94,6 +110,7 @@ def main():
         remat=not args.no_remat,
         remat_policy=args.remat_policy,
         vae_encode_chunk=args.vae_chunk,
+        feature_tap_dtype=args.tap_dtype,
     )
 
     # host-side random params (shapes from eval_shape; bf16 frozen towers)
@@ -154,6 +171,55 @@ def main():
                                        jnp.float32), (B, 1)),
         "zh_or_not": jnp.asarray(rng.randint(0, 2, (B,)).astype(np.float32)),
     }
+
+    if args.compare_tap_dtype:
+        # Numerics mode (VERDICT r2 item 2): identical init/batch/rngs, one
+        # trajectory per tap dtype — decides "does bf16 feature-KD change
+        # the loss numerics" by data instead of assertion.
+        import dataclasses as _dc
+        import sys
+        n = args.compare_tap_dtype
+        traces = {}
+        for td in ("float32", "bfloat16"):
+            m_td = _dc.replace(models, feature_tap_dtype=td)
+            _, step_td = make_train_step(m_td, cfg)
+            jstep_td = jax.jit(step_td)  # no donation: state reused below
+            st = jax.device_put(state, jax.devices()[0])
+            tr = {"loss": [], "loss_features": [], "grad_norm": []}
+            for i in range(n):
+                st, met = jstep_td(st, frozen, batch, jax.random.PRNGKey(i))
+                tr["loss"].append(float(jax.device_get(met["loss"])))
+                tr["loss_features"].append(
+                    float(jax.device_get(met["train_loss_features"])))
+                tr["grad_norm"].append(float(jax.device_get(met["grad_norm"])))
+                print(f"[{td} step {i}] loss={tr['loss'][-1]:.6g} "
+                      f"feat={tr['loss_features'][-1]:.6g} "
+                      f"gnorm={tr['grad_norm'][-1]:.6g}",
+                      file=sys.stderr, flush=True)
+            traces[td] = tr
+        f32, bf16 = traces["float32"], traces["bfloat16"]
+
+        def rel(a, b):
+            return [abs(x - y) / (abs(x) + 1e-12) for x, y in zip(a, b)]
+        print(json.dumps({
+            "metric": f"bf16-vs-fp32 feature-tap numerics ({size}^2, mb {B}, "
+                      f"{n} steps)",
+            "value": round(max(rel(f32["loss"], bf16["loss"])), 6),
+            "unit": "max relative loss delta",
+            "vs_baseline": None,
+            "detail": {
+                "max_rel_feat_delta": round(
+                    max(rel(f32["loss_features"], bf16["loss_features"])), 6),
+                "max_rel_gnorm_delta": round(
+                    max(rel(f32["grad_norm"], bf16["grad_norm"])), 6),
+                "final_loss": {"float32": f32["loss"][-1],
+                               "bfloat16": bf16["loss"][-1]},
+                "final_grad_norm": {"float32": f32["grad_norm"][-1],
+                                    "bfloat16": bf16["grad_norm"][-1]},
+                "traces": traces,
+            },
+        }))
+        return
 
     def run(i):
         nonlocal state

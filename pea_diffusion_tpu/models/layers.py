@@ -55,24 +55,41 @@ class TimestepEmbedding(nn.Module):
 
 
 def group_norm(x, scale, bias, num_groups: int, eps: float):
-    """fp32 GroupNorm over NHWC / N...C input with per-channel affine."""
+    """fp32 GroupNorm over NHWC / N...C input with per-channel affine.
+
+    Structured as per-CHANNEL spatial sums -> group math on tiny [N,C]/[N,G]
+    vectors -> one fused per-channel affine. Two reasons, both measured:
+    (1) the grouped-reshape reduce ([N,H,W,G,C/G]) forced fp32 layout
+    copies of the full activation (125MB temps at KD mb8, the round-3 OOM
+    dump) and tiled superlinearly at batch 8 in inference (DESIGN.md §9c:
+    convert+reduce fusions grew 11.8x for 8x batch); the [N,...,C]->[N,C]
+    reduce is XLA's best-tiled pattern and the big tensor is only ever
+    touched by elementwise chains that fuse without materializing fp32.
+    (2) stats still use one pass (E[x^2]-E[x]^2, fp32 accumulation) — same
+    math as before up to reduction-order rounding."""
     orig_dtype = x.dtype
-    x = x.astype(jnp.float32)
     shape = x.shape
     c = shape[-1]
     g = num_groups
-    xg = x.reshape(shape[:-1] + (g, c // g))
-    red = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-    # single-pass stats: E[x^2]-E[x]^2 lets XLA fuse both reductions into one
-    # read of the activation (x.var() would force a second mean-dependent
-    # pass — the profiler showed norm reductions at 16.6% of the UNet step)
-    mean = xg.mean(axis=red, keepdims=True)
-    mean2 = (xg * xg).mean(axis=red, keepdims=True)
-    var = jnp.maximum(mean2 - mean * mean, 0.0)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    x = xg.reshape(shape)
-    x = x * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    return x.astype(orig_dtype)
+    n = shape[0]
+    xf = x.astype(jnp.float32)
+    spatial = tuple(range(1, x.ndim - 1))
+    s1 = xf.sum(axis=spatial)         # [N, C] (fuses with s2: one read)
+    s2 = (xf * xf).sum(axis=spatial)  # [N, C]
+    count = math.prod(shape[1:-1]) * (c // g)
+    gs1 = s1.reshape(n, g, c // g).sum(-1)  # [N, G]
+    gs2 = s2.reshape(n, g, c // g).sum(-1)
+    mean = gs1 / count
+    var = jnp.maximum(gs2 / count - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    # broadcast group stats to channels, fold everything into y = x*a + b
+    mean_c = jnp.broadcast_to(mean[:, :, None], (n, g, c // g)).reshape(n, c)
+    rstd_c = jnp.broadcast_to(rstd[:, :, None], (n, g, c // g)).reshape(n, c)
+    a = rstd_c * scale.astype(jnp.float32)[None]
+    b = bias.astype(jnp.float32)[None] - mean_c * a
+    bshape = (n,) + (1,) * (x.ndim - 2) + (c,)
+    y = xf * a.reshape(bshape) + b.reshape(bshape)
+    return y.astype(orig_dtype)
 
 
 class GroupNorm(nn.Module):

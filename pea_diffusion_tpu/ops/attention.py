@@ -67,6 +67,10 @@ def dot_product_attention(
         # v5e-swept block sizes (docs/DESIGN.md §4): large kv blocks win —
         # S=4096: bq256/bk1024 3.40ms vs 5.84ms XLA; S=1024: bq512/bk1024.
         block_q = 256 if q.shape[1] >= 2048 else 512
+        # PEA_FLASH_NO_DPAD: keep D=64 operands unpadded — halves every
+        # q/k/v/dO/out HBM buffer at ~35% kernel slowdown (the training
+        # memory mode for large micro-batches; see flash_attention docs)
+        pad_d = not os.environ.get("PEA_FLASH_NO_DPAD")
         return flash_attention(q, k, v, scale=scale, block_q=block_q,
-                               block_k=1024)
+                               block_k=1024, pad_d=pad_d)
     return xla_attention(q, k, v, scale, mask)

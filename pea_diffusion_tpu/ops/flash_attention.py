@@ -76,14 +76,18 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pad_qkv(q, k, v, block_q, block_k):
+def _pad_qkv(q, k, v, block_q, block_k, pad_d=True):
+    """pad_d=True zero-pads D to 128 lanes (faster: Mosaic prefers full
+    lanes — docs/DESIGN.md §9 negative result measured +36%); pad_d=False
+    keeps D=64 operands unpadded, halving every q/k/v/dO/out HBM buffer in
+    the region — the memory mode for large training micro-batches."""
     bh, sq, d = q.shape
     skv = k.shape[1]
     block_q = min(block_q, _round_up(sq, 128))
     block_k = min(block_k, _round_up(skv, 128))
     sq_p = _round_up(sq, block_q)
     skv_p = _round_up(skv, block_k)
-    d_p = _round_up(d, 128)
+    d_p = _round_up(d, 128) if pad_d else d
     q = jnp.pad(q, ((0, 0), (0, sq_p - sq), (0, d_p - d)))
     k = jnp.pad(k, ((0, 0), (0, skv_p - skv), (0, d_p - d)))
     v = jnp.pad(v, ((0, 0), (0, skv_p - skv), (0, d_p - d)))
@@ -91,15 +95,16 @@ def _pad_qkv(q, k, v, block_q, block_k):
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "interpret", "with_lse"))
+                                             "interpret", "with_lse",
+                                             "pad_d"))
 def _flash_forward(q, k, v, scale=None, block_q=256, block_k=1024,
-                   interpret=False, with_lse=False):
+                   interpret=False, with_lse=False, pad_d=True):
     """[BH,Sq,D] x [BH,Skv,D] -> out [BH,Sq,D] (+ lse [BH,Sq] if with_lse)."""
     bh, sq, d = q.shape
     skv = k.shape[1]
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    q, k, v, block_q, block_k = _pad_qkv(q, k, v, block_q, block_k)
+    q, k, v, block_q, block_k = _pad_qkv(q, k, v, block_q, block_k, pad_d)
     _, sq_p, d_p = q.shape
     skv_p = k.shape[1]
 
@@ -226,15 +231,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
-                                             "interpret"))
+                                             "interpret", "pad_d"))
 def _flash_backward(q, k, v, out, lse, g, scale, block_q=256, block_k=1024,
-                    interpret=False):
+                    interpret=False, pad_d=True):
     bh, sq, d = q.shape
     skv = k.shape[1]
     # delta_i = sum_d dO_i * O_i  (cheap rowwise; XLA fuses)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
-    q, k, v, block_q, block_k = _pad_qkv(q, k, v, block_q, block_k)
+    q, k, v, block_q, block_k = _pad_qkv(q, k, v, block_q, block_k, pad_d)
     _, sq_p, d_p = q.shape
     skv_p = k.shape[1]
     g = jnp.pad(g, ((0, 0), (0, sq_p - sq), (0, d_p - d)))
@@ -302,28 +307,34 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 1024,
     interpret: bool = False,
+    pad_d: bool = True,
 ) -> jnp.ndarray:
-    """Differentiable flash attention (Pallas fwd + Pallas bwd)."""
-    return _flash_attention_vjp(q, k, v, scale, block_q, block_k, interpret)
+    """Differentiable flash attention (Pallas fwd + Pallas bwd). pad_d=False
+    trades kernel speed (Mosaic prefers 128-lane operands) for HALVED
+    q/k/v/dO/out HBM buffers at D=64 — the training memory mode
+    (PEA_FLASH_NO_DPAD)."""
+    return _flash_attention_vjp(q, k, v, scale, block_q, block_k, interpret,
+                                pad_d)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _flash_attention_vjp(q, k, v, scale, block_q, block_k, interpret):
-    return _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention_vjp(q, k, v, scale, block_q, block_k, interpret, pad_d):
+    return _flash_forward(q, k, v, scale, block_q, block_k, interpret,
+                          pad_d=pad_d)
 
 
-def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret):
+def _flash_fwd_rule(q, k, v, scale, block_q, block_k, interpret, pad_d):
     out, lse = _flash_forward(q, k, v, scale, block_q, block_k, interpret,
-                              with_lse=True)
+                              with_lse=True, pad_d=pad_d)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd_rule(scale, block_q, block_k, interpret, res, g):
+def _flash_bwd_rule(scale, block_q, block_k, interpret, pad_d, res, g):
     q, k, v, out, lse = res
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     return _flash_backward(q, k, v, out, lse, g, scale, block_q, block_k,
-                           interpret)
+                           interpret, pad_d=pad_d)
 
 
 _flash_attention_vjp.defvjp(_flash_fwd_rule, _flash_bwd_rule)

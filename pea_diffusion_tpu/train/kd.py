@@ -70,6 +70,13 @@ class KDModels:
     # activations); lax.map over chunks caps the live set — encode cost is
     # negligible next to the two UNet passes. None = no chunking.
     vae_encode_chunk: Optional[int] = 2
+    # Accumulation dtype of the feature-KD MSE terms. "float32" (default)
+    # upcasts every student/teacher tap pair for the diff; "bfloat16" keeps
+    # the elementwise diff in bf16 (per-sample means still reduce in fp32)
+    # — the last HBM lever for micro-batch 8 @640^2 on one 16G v5e
+    # (BASELINE.md: fp32 taps miss by 183MB). Numerics delta measured by
+    # bench_train.py --compare-tap-dtype (BASELINE.md round-3 table).
+    feature_tap_dtype: str = "float32"
 
     def __hash__(self):
         return id(self)
@@ -93,11 +100,12 @@ def teacher_encode_prompt(models: KDModels, frozen: Dict[str, Any],
     return seq, o2.projected
 
 
-def _masked_mse(a, b, weight):
+def _masked_mse(a, b, weight, dtype=jnp.float32):
     """MSE per-sample -> weighted batch mean; non-finite terms dropped
-    (train_sd_zh.py:246-268 NaN guards)."""
-    d = (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2
-    per = d.mean(axis=tuple(range(1, d.ndim)))
+    (train_sd_zh.py:246-268 NaN guards). `dtype` is the elementwise diff
+    dtype; the per-sample reduction always accumulates in fp32."""
+    d = (a.astype(dtype) - b.astype(dtype)) ** 2
+    per = d.astype(jnp.float32).mean(axis=tuple(range(1, d.ndim)))
     per = jnp.where(jnp.isfinite(per), per, 0.0)
     return (per * weight).mean()
 
@@ -221,8 +229,10 @@ def kd_loss(
         w_kd = (1.0 - zh) if cfg.hybrid_training else jnp.ones_like(zh)
         loss_teacher = _masked_mse(noise_pred, teacher_pred, w_kd)
         loss = loss + loss_teacher
+        tap_dtype = jnp.dtype(models.feature_tap_dtype)
         loss_features = sum(
-            _masked_mse(feats_s[k], feats_t[k], w_kd) for k in sorted(feats_s)
+            _masked_mse(feats_s[k], feats_t[k], w_kd, tap_dtype)
+            for k in sorted(feats_s)
         )
         loss = loss + cfg.feature_loss_weight * loss_features
         metrics["train_loss_logits"] = loss_teacher

@@ -54,6 +54,11 @@ class KDTrainer:
         self.manager = make_manager(cfg.output_dir, cfg.save_top_k)
         # host-side step mirror: avoids a device sync per iteration
         self.host_step = 0
+        # rows of the last batch fed to fit() (per process) — with it,
+        # consumed_samples is a pure function of the step counter, which is
+        # exactly how the reference restores it (train_sdxl_zh.py:454-458:
+        # consumed_samples follows global_step on load)
+        self._batch_rows: Optional[int] = None
         self.profiler = (ProfilerWindow(cfg.output_dir + "/trace", *profile_window)
                          if profile_window else None)
 
@@ -67,8 +72,18 @@ class KDTrainer:
                 lambda x: jax.device_put(x, pmesh.replicated(self.mesh)),
                 restored)
             self.host_step = int(restored.step)
-            print(f"resumed from step {self.host_step}")
+            print(f"resumed from step {self.host_step} "
+                  f"(consumed_samples={self.consumed_samples})")
         return self.host_step
+
+    @property
+    def consumed_samples(self) -> int:
+        """Global samples consumed so far = step x global batch. Feed this
+        (or the step) back into make_train_iterator(start_step=...) so a
+        resumed run continues on a reshuffled stream instead of replaying
+        the consumed prefix."""
+        rows = self._batch_rows or self.cfg.batch_size_per_device
+        return self.host_step * rows * jax.process_count()
 
     def _device_batch(self, batch: Dict[str, np.ndarray]):
         arrays = {k: batch[k] for k in ARRAY_KEYS if k in batch}
@@ -88,11 +103,13 @@ class KDTrainer:
                 if self.profiler:
                     self.profiler.step(step)
                 step_rng = jax.random.fold_in(rng, step)
+                self._batch_rows = len(batch["pixel_values"])
                 self.state, metrics = self.step_fn(
                     self.state, self.frozen, self._device_batch(batch), step_rng)
                 new_step = self.host_step = step + 1
                 if new_step % cfg.log_every_n_steps == 0 or new_step == start + 1:
                     m = {k: float(jax.device_get(v)) for k, v in metrics.items()}
+                    m["consumed_samples"] = self.consumed_samples
                     rec = self.logger.log(new_step, m)
                     print(f"step {new_step}: " + " ".join(
                         f"{k}={v:.5g}" for k, v in rec.items()

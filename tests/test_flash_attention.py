@@ -44,3 +44,31 @@ def test_flash_bf16_accumulates_fp32():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), atol=3e-2
     )
+
+
+def test_flash_no_dpad_matches_padded():
+    """pad_d=False (the training memory mode, PEA_FLASH_NO_DPAD) must be
+    numerically identical to the padded default — fwd and grads."""
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    bh, s, d = 2, 256, 64
+    q = jax.random.normal(ks[0], (bh, s, d), jnp.float32)
+    k = jax.random.normal(ks[1], (bh, s, d), jnp.float32)
+    v = jax.random.normal(ks[2], (bh, s, d), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+
+    def loss(pad_d):
+        def f(q, k, v):
+            out = flash_attention(q, k, v, scale=scale, block_q=128,
+                                  block_k=128, interpret=True, pad_d=pad_d)
+            return (out * out).sum()
+        return f
+
+    ref = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128,
+                          interpret=True, pad_d=True)
+    out = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128,
+                          interpret=True, pad_d=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    g_ref = jax.grad(loss(True), argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss(False), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)

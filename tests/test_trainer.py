@@ -1,5 +1,6 @@
 """KDTrainer integration on the 8-device CPU mesh: fit loop, metrics file,
 checkpoint + resume, and per-bucket warmup compile."""
+import json
 import os
 
 import jax
@@ -90,6 +91,13 @@ def test_trainer_fit_checkpoint_resume(tmp_path):
     assert trainer.resume() == 0
     trainer.fit(_batches(3), max_steps=3)
     assert trainer.host_step == 3
+    # consumed_samples follows the step counter (the reference's
+    # on_load_checkpoint derivation, train_sdxl_zh.py:454-458) and is
+    # logged with each metrics record
+    assert trainer.consumed_samples == 3 * B
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        last = json.loads(f.readlines()[-1])
+    assert last["consumed_samples"] == 3 * B
     assert os.path.exists(os.path.join(out, "metrics.jsonl"))
     assert os.path.exists(os.path.join(out, "proj_2"))
     trainer.manager.wait_until_finished()
@@ -97,5 +105,6 @@ def test_trainer_fit_checkpoint_resume(tmp_path):
     # fresh trainer resumes from the saved step
     trainer2 = KDTrainer(models, cfg, frozen, adapter_params)
     assert trainer2.resume() == 2
+    assert trainer2.consumed_samples == 2 * cfg.batch_size_per_device
     trainer2.fit(_batches(5), max_steps=4)
     assert trainer2.host_step == 4
