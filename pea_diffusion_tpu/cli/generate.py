@@ -127,7 +127,18 @@ def main(argv=None):
     ap.add_argument("-o", "--output", default="out.png")
     ap.add_argument("--repl", action="store_true",
                     help="interactive prompt loop (reference REPL parity)")
+    ap.add_argument("--aot-cache", metavar="DIR",
+                    help="AOT program cache dir: serialize the traced SDXL "
+                         "program there on first run; later process starts "
+                         "skip the multi-minute Python trace "
+                         "(utils/startup.py)")
+    ap.add_argument("--no-compile-cache", action="store_true",
+                    help="disable the persistent XLA compile cache")
     args = ap.parse_args(argv)
+
+    if not args.no_compile_cache:
+        from ..utils.startup import enable_compile_cache
+        enable_compile_cache()
 
     from ..pipelines.text2image import StableDiffusionXLPEAPipeline
 
@@ -141,7 +152,8 @@ def main(argv=None):
         models, params, tokenize, size = build_real(args)
         steps = args.steps
 
-    pipe = StableDiffusionXLPEAPipeline(models, params, args.sampler)
+    pipe = StableDiffusionXLPEAPipeline(models, params, args.sampler,
+                                        aot_dir=args.aot_cache)
 
     def run(prompt, negative, out_path, seed):
         ids = tokenize([prompt])

@@ -1,14 +1,21 @@
-"""Minimal production-style serving daemon (the reference's only "serving"
-is a stdin REPL, tests/test_sdxl_zh.py:461-472 — this is its network-facing
+"""Production-style serving daemon (the reference's only "serving" is a
+stdin REPL, tests/test_sdxl_zh.py:461-472 — this is its network-facing
 equivalent).
 
 Stdlib-only HTTP server: POST /generate {"prompt": ..., "negative_prompt":,
 "steps":, "guidance":, "seed":} -> PNG bytes; GET /healthz -> status JSON.
-Single-threaded by design: one TPU chip serves one request at a time; the
-jit cache makes repeat shapes fast. Use --demo for the tiny random-weight
-stack.
+Use --demo for the tiny random-weight stack.
 
-  python -m pea_diffusion_tpu.cli.serve --demo --port 8471
+Request batching (--max-batch N): concurrent requests arriving within
+--batch-window-ms are generated as ONE device batch — the measured v5e
+operating curve (BASELINE.md round 3: batch 8 = 0.276 img/s vs batch 1 =
+0.259) makes this strictly better queueing under load. Batch sizes round
+up to powers of two (bounded program count; persistent compile cache +
+--aot-cache amortize each size). Each request's initial noise is drawn
+from ITS OWN seed host-side and passed via the init_noise operand, so
+co-batching never changes a request's image.
+
+  python -m pea_diffusion_tpu.cli.serve --demo --port 8471 --max-batch 8
   curl -X POST localhost:8471/generate -d '{"prompt": "一只猫"}' > out.png
 """
 from __future__ import annotations
@@ -16,8 +23,91 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import queue
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
+from socketserver import ThreadingMixIn
+
+
+class BatchingEngine:
+    """Collects concurrent requests into one padded device batch.
+
+    submit() blocks the calling handler thread until its image is ready.
+    One worker thread owns the pipeline (the chip serves one program at a
+    time regardless); requests with identical (steps, guidance, rescale)
+    co-batch, others run in their own call within the same drain cycle."""
+
+    def __init__(self, pipe, tokenize, size, max_batch=8, window_ms=150,
+                 latent_factor=8):
+        self.pipe, self.tokenize, self.size = pipe, tokenize, size
+        self.max_batch, self.window = max_batch, window_ms / 1000.0
+        self.latent = size // latent_factor
+        self.q: "queue.Queue" = queue.Queue()
+        threading.Thread(target=self._worker, daemon=True).start()
+
+    def submit(self, prompt, negative, steps, guidance, rescale, seed):
+        done, slot = threading.Event(), {}
+        self.q.put(((steps, guidance, rescale),
+                    (prompt, negative, int(seed)), done, slot))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot["img"]
+
+    def _noise(self, seed, n):
+        import numpy as np
+        rs = np.random.RandomState(seed & 0x7FFFFFFF)
+        return rs.standard_normal((n, self.latent, self.latent, 4)).astype(
+            np.float32)
+
+    def _worker(self):
+        import numpy as np
+        while True:
+            first = self.q.get()
+            batch = [first]
+            deadline = time.time() + self.window
+            while len(batch) < self.max_batch:
+                left = deadline - time.time()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=left))
+                except queue.Empty:
+                    break
+            groups: dict = {}
+            for item in batch:
+                groups.setdefault(item[0], []).append(item)
+            for (steps, guidance, rescale), items in groups.items():
+                try:
+                    n = len(items)
+                    # round up to a power of two: bounded program count
+                    padded = 1 << (n - 1).bit_length()
+                    prompts = [it[1][0] for it in items]
+                    negatives = [it[1][1] for it in items]
+                    prompts += [prompts[0]] * (padded - n)
+                    negatives += [negatives[0]] * (padded - n)
+                    rows = [self._noise(it[1][2], 1) for it in items]
+                    if padded > n:
+                        rows.append(self._noise(0, padded - n))
+                    noise = np.concatenate(rows)
+                    imgs = self.pipe(
+                        self.tokenize(prompts), self.tokenize(negatives),
+                        height=self.size, width=self.size, num_steps=steps,
+                        guidance_scale=guidance, guidance_rescale=rescale,
+                        init_noise=noise)
+                    for it, img in zip(items, imgs):
+                        it[3]["img"] = img
+                except Exception as e:
+                    for it in items:
+                        it[3]["error"] = f"{type(e).__name__}: {e}"
+                finally:
+                    for it in items:
+                        it[2].set()
+
+
+class _ThreadingHTTPServer(ThreadingMixIn, HTTPServer):
+    daemon_threads = True
 
 
 def main(argv=None):
@@ -33,7 +123,19 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--max-length", type=int, default=52)
     ap.add_argument("--default-steps", type=int, default=30)
+    ap.add_argument("--aot-cache", metavar="DIR",
+                    help="AOT program cache dir — a restarted server skips "
+                         "the multi-minute trace (utils/startup.py)")
+    ap.add_argument("--max-batch", type=int, default=8,
+                    help="co-batch up to N concurrent requests into one "
+                         "device batch (the measured best v5e operating "
+                         "point; 1 = no batching)")
+    ap.add_argument("--batch-window-ms", type=int, default=150,
+                    help="how long the batcher waits to fill a batch")
     args = ap.parse_args(argv)
+
+    from ..utils.startup import enable_compile_cache
+    enable_compile_cache()
 
     from .generate import build_demo, build_real
     from ..pipelines.text2image import StableDiffusionXLPEAPipeline
@@ -50,7 +152,12 @@ def main(argv=None):
         models, params, tokenize, size = build_real(args)
         default_steps = args.default_steps
 
-    pipe = StableDiffusionXLPEAPipeline(models, params, args.sampler)
+    pipe = StableDiffusionXLPEAPipeline(models, params, args.sampler,
+                                        aot_dir=args.aot_cache)
+    # generate_sdxl draws latents at size//8 for every VAE config
+    engine = BatchingEngine(pipe, tokenize, size,
+                            max_batch=max(1, args.max_batch),
+                            window_ms=args.batch_window_ms)
     stats = {"requests": 0, "started": time.time()}
 
     class Handler(BaseHTTPRequestHandler):
@@ -78,16 +185,14 @@ def main(argv=None):
                 prompt = req.get("prompt", "")
                 if not prompt:
                     raise ValueError("missing 'prompt'")
-                ids = tokenize([prompt])
-                uncond = tokenize([req.get("negative_prompt", "")])
-                imgs = pipe(
-                    ids, uncond, height=size, width=size,
-                    num_steps=int(req.get("steps", default_steps)),
-                    guidance_scale=float(req.get("guidance", 7.5)),
-                    guidance_rescale=float(req.get("guidance_rescale", 0.0)),
-                    seed=int(req.get("seed", 0)))
+                img = engine.submit(
+                    prompt, req.get("negative_prompt", ""),
+                    int(req.get("steps", default_steps)),
+                    float(req.get("guidance", 7.5)),
+                    float(req.get("guidance_rescale", 0.0)),
+                    int(req.get("seed", 0)))
                 buf = io.BytesIO()
-                imgs[0].save(buf, "PNG")
+                img.save(buf, "PNG")
                 data = buf.getvalue()
                 stats["requests"] += 1
                 self.send_response(200)
@@ -106,8 +211,11 @@ def main(argv=None):
         def log_message(self, fmt, *a):
             print(f"[serve] {fmt % a}")
 
-    srv = HTTPServer(("0.0.0.0", args.port), Handler)
-    print(f"serving on :{args.port} (size={size}, sampler={args.sampler})")
+    # threaded accept loop: handlers block in engine.submit while the
+    # batcher coalesces them into one device batch
+    srv = _ThreadingHTTPServer(("0.0.0.0", args.port), Handler)
+    print(f"serving on :{args.port} (size={size}, sampler={args.sampler}, "
+          f"max_batch={args.max_batch})")
     srv.serve_forever()
 
 

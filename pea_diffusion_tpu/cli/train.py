@@ -75,8 +75,8 @@ def build_demo(batch_size: int):
     adapter_params = models.adapter.init(
         k[5], jnp.zeros((1, T, BERT_TINY.hidden_size)))
 
-    def batches():
-        rng = np.random.RandomState(0)
+    def batches(start_step=0):
+        rng = np.random.RandomState(start_step)
         B = batch_size
         while True:
             yield {
@@ -92,7 +92,7 @@ def build_demo(batch_size: int):
                 "zh_or_not": rng.randint(0, 2, (B,)).astype(np.float32),
             }
 
-    return models, frozen, adapter_params, batches()
+    return models, frozen, adapter_params, batches
 
 
 def build_real(args):
@@ -168,10 +168,17 @@ def build_real(args):
 
     data_cfg = DataConfig(urls=tuple(args.urls), batch_size=args.batch_size,
                           num_workers=args.num_workers)
-    batches = make_train_iterator(
-        data_cfg, mk_tok(tok, args.max_length),
-        [mk_tok(tok1, 77), mk_tok(tok2, 77)], tokenize_zh)
-    return models, frozen, adapter_params, batches
+
+    def make_batches(start_step=0):
+        # built AFTER trainer.resume(): start_step re-seeds the stream so a
+        # resumed run does not replay the consumed prefix (the reference's
+        # consumed_samples restore, train_sdxl_zh.py:454-458)
+        return make_train_iterator(
+            data_cfg, mk_tok(tok, args.max_length),
+            [mk_tok(tok1, 77), mk_tok(tok2, 77)], tokenize_zh,
+            start_step=start_step)
+
+    return models, frozen, adapter_params, make_batches
 
 
 def main(argv=None):
@@ -225,19 +232,19 @@ def main(argv=None):
         batch_size_per_device=args.batch_size)
 
     if args.demo:
-        models, frozen, adapter_params, batches = build_demo(args.batch_size)
+        models, frozen, adapter_params, make_batches = build_demo(args.batch_size)
         cfg = dataclasses.replace(cfg, every_n_steps=max(args.steps or 5, 1),
                                   log_every_n_steps=1)
     else:
         for req in ("model_dir", "text_encoder_dir"):
             if getattr(args, req) is None:
                 ap.error(f"--{req.replace('_', '-')} required without --demo")
-        models, frozen, adapter_params, batches = build_real(args)
+        models, frozen, adapter_params, make_batches = build_real(args)
 
     trainer = KDTrainer(models, cfg, frozen, adapter_params,
                         profile_window=tuple(args.profile) if args.profile else None)
-    trainer.resume()
-    state = trainer.fit(batches, max_steps=args.steps)
+    resumed_step = trainer.resume()
+    state = trainer.fit(make_batches(resumed_step), max_steps=args.steps)
     print(f"done at step {int(state.step)}")
 
 

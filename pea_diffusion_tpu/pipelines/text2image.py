@@ -198,18 +198,22 @@ def generate_sdxl(models: PEAModels, params: Params, ids, uncond_ids, rng, *,
                   sampler_name="dpm++", height=1024, width=1024, num_steps=30,
                   guidance_scale=7.5, guidance_rescale=0.0,
                   original_size=None, crops_coords_top_left=(0, 0),
-                  target_size=None, do_cfg=None, denoising_end=None):
+                  target_size=None, do_cfg=None, denoising_end=None,
+                  init_noise=None):
     """Thin host wrapper: derives the static `do_cfg` branch from a concrete
     guidance value, then calls the jitted body with guidance_scale /
     guidance_rescale as TRACED operands — serving a new CFG value reuses the
     compiled program (VERDICT r1 weak-item 6). Pass `do_cfg` explicitly when
-    feeding a traced guidance_scale."""
+    feeding a traced guidance_scale. `init_noise` [B,H/8,W/8,4] overrides
+    the rng-drawn initial latents — request-batched serving uses it so each
+    co-batched request keeps its own seed's noise row (cli/serve.py)."""
     if do_cfg is None:
         do_cfg = float(guidance_scale) > 1.0
     return _generate_sdxl_jit(
         models, params, ids, uncond_ids, rng,
         jnp.float32(guidance_scale), jnp.float32(guidance_rescale),
         None if denoising_end is None else jnp.float32(denoising_end),
+        init_noise,
         sampler_name=sampler_name, height=height, width=width,
         num_steps=num_steps, do_cfg=bool(do_cfg),
         original_size=original_size,
@@ -223,7 +227,8 @@ def generate_sdxl(models: PEAModels, params: Params, ids, uncond_ids, rng, *,
                      "target_size"),
 )
 def _generate_sdxl_jit(models: PEAModels, params: Params, ids, uncond_ids,
-                       rng, guidance_scale, guidance_rescale, denoising_end, *,
+                       rng, guidance_scale, guidance_rescale, denoising_end,
+                       init_noise, *,
                        sampler_name, height, width, num_steps, do_cfg,
                        original_size, crops_coords_top_left, target_size):
     context, pooled = encode_prompt_sdxl(models, params, ids, uncond_ids)
@@ -231,7 +236,11 @@ def _generate_sdxl_jit(models: PEAModels, params: Params, ids, uncond_ids,
     if not do_cfg:  # LCM / turbo few-step path: conditional half only
         context, pooled = context[b:], pooled[b:]
     sampler = make_sampler(sampler_name, models.schedule, num_steps)
-    noise = jax.random.normal(rng, (b, height // 8, width // 8, 4), jnp.float32)
+    if init_noise is None:
+        noise = jax.random.normal(rng, (b, height // 8, width // 8, 4),
+                                  jnp.float32)
+    else:
+        noise = init_noise.astype(jnp.float32)
     mult = 2 if do_cfg else 1
     time_ids = make_add_time_ids(
         original_size or (height, width), crops_coords_top_left,
@@ -360,18 +369,89 @@ class StableDiffusionPEAPipeline:
 class StableDiffusionXLPEAPipeline:
     """SDXL + PEA adapter (pooled 1280 + seq 2048, tests/test_sdxl_zh.py).
     Also serves SSD-1B / fine-tuned bases (swap unet config+params) and
-    LCM-LoRA / Turbo few-step (sampler_name='lcm', guidance_scale<=1)."""
+    LCM-LoRA / Turbo few-step (sampler_name='lcm', guidance_scale<=1).
+
+    `aot_dir` enables AOT program serialization (utils/startup.py): the
+    first process to serve an operating point exports the traced program
+    there; later process starts deserialize it and skip the multi-minute
+    Python trace entirely (cold-start attack, BASELINE.md round 3)."""
 
     def __init__(self, models: PEAModels, params: Params,
-                 sampler_name: str = "dpm++"):
+                 sampler_name: str = "dpm++", aot_dir: Optional[str] = None):
         self.models, self.params, self.sampler_name = models, params, sampler_name
+        self._aot = None
+        if aot_dir is not None:
+            from ..utils.startup import AOTCache
+            self._aot = AOTCache(aot_dir)
+
+    def _aot_generate(self, ids, uncond_ids, rng, height, width, num_steps,
+                      guidance_scale, guidance_rescale, do_cfg,
+                      init_noise=None):
+        from ..utils.startup import aot_key, export_program, _abstractify
+
+        m = self.models
+        key = aot_key(
+            "sdxl_t2i", m.unet.config, m.vae.config, m.adapter.config,
+            self.sampler_name, height, width, num_steps, do_cfg,
+            jax.tree.structure(self.params),
+            jax.tree.map(lambda x: (jnp.shape(x), str(jnp.result_type(x))),
+                         self.params),
+            jnp.shape(ids), jnp.shape(uncond_ids),
+            None if init_noise is None else jnp.shape(init_noise))
+
+        def make():
+            # closure over the static bundle: the exported program's calling
+            # convention is purely the dynamic arrays below
+            def body(params, ids_, uncond_, rng_, gs, gr, *noise):
+                return _generate_sdxl_jit(
+                    m, params, ids_, uncond_, rng_, gs, gr, None,
+                    noise[0] if noise else None,
+                    sampler_name=self.sampler_name, height=height,
+                    width=width, num_steps=num_steps, do_cfg=do_cfg,
+                    original_size=None, crops_coords_top_left=(0, 0),
+                    target_size=None)
+            scalar = jax.ShapeDtypeStruct((), jnp.float32)
+            specs = [_abstractify(self.params), _abstractify(ids),
+                     _abstractify(uncond_ids), _abstractify(rng), scalar,
+                     scalar]
+            if init_noise is not None:
+                specs.append(_abstractify(init_noise))
+            return export_program(jax.jit(body), *specs)
+
+        try:
+            fn = self._aot.get_or_export(key, make)
+            args = [self.params, ids, uncond_ids, rng,
+                    jnp.float32(guidance_scale),
+                    jnp.float32(guidance_rescale)]
+            if init_noise is not None:
+                args.append(init_noise)
+            return fn(*args)
+        except Exception as e:  # artifact/platform mismatch: fall back live
+            import warnings
+            warnings.warn(f"AOT path failed ({e}); tracing live")
+            self._aot = None
+            return None
 
     def __call__(self, ids, uncond_ids, *, height=1024, width=1024,
-                 num_steps=30, guidance_scale=7.5, guidance_rescale=0.0, seed=0):
+                 num_steps=30, guidance_scale=7.5, guidance_rescale=0.0,
+                 seed=0, init_noise=None):
+        ids, uncond_ids = as_ids(ids), as_ids(uncond_ids)
+        rng = jax.random.PRNGKey(seed)
+        do_cfg = float(guidance_scale) > 1.0
+        if init_noise is not None:
+            init_noise = jnp.asarray(init_noise)
+        if self._aot is not None and do_cfg:
+            imgs = self._aot_generate(ids, uncond_ids, rng, height, width,
+                                      num_steps, float(guidance_scale),
+                                      float(guidance_rescale), do_cfg,
+                                      init_noise)
+            if imgs is not None:
+                return to_pil(imgs)
         imgs = generate_sdxl(
-            self.models, self.params, as_ids(ids), as_ids(uncond_ids),
-            jax.random.PRNGKey(seed), sampler_name=self.sampler_name,
+            self.models, self.params, ids, uncond_ids, rng,
+            sampler_name=self.sampler_name,
             height=height, width=width, num_steps=num_steps,
             guidance_scale=float(guidance_scale),
-            guidance_rescale=float(guidance_rescale))
+            guidance_rescale=float(guidance_rescale),
+            init_noise=init_noise)
         return to_pil(imgs)
