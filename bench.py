@@ -8,21 +8,38 @@ self-attention) -> fp32 SDXL VAE decode. Random weights (throughput is
 weight-value independent). The reference publishes no numbers (BASELINE.md);
 `vs_baseline` is measured against the commonly reported A100-80G fp16
 diffusers operating point for SDXL-base 30-step 1024^2 inference
-(~0.41 img/s, i.e. ~2.4 s/image) as the closest GPU equivalent of
-tests/test_sdxl_zh.py:303-306,460 (batch 1 per call).
+(~0.41 img/s, i.e. ~2.4 s/image). The reference's own operating point is
+BATCH 4 per call (tests/test_sdxl_zh.py:461 `batch=4`, 303-306 `1024^2,
+30 steps, CFG 7.5`); `--sweep 1 2 4 8` measures the throughput-vs-batch
+curve in one process (params initialized and device_put once) and reports
+the best point as the headline.
 """
 import argparse
 import json
 import time
 
 A100_REFERENCE_IMG_PER_S = 0.41
+# docs/DESIGN.md §9b: 30 steps x CFG pair x ~3.4 TFLOP UNet fwd + VAE decode
+SDXL_TFLOP_PER_IMAGE = 204.0
+V5E_PEAK_BF16_TFLOPS = 197.0
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--size", type=int, default=1024)
-    ap.add_argument("--batch", type=int, default=1)
+    # default = the best measured single-chip operating point (BASELINE.md
+    # round-3 sweep: b8 0.2763 img/s > b1 0.2587 > b2 0.2467); the
+    # reference's own operating point is batch 4 (tests/test_sdxl_zh.py:461)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--sweep", type=int, nargs="+", default=None,
+                    metavar="B",
+                    help="measure several batch sizes in one process "
+                         "(shared init/device_put); headline = best point")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of one timed run per "
+                         "batch into DIR/b<N> (parse with "
+                         "tools/parse_xplane.py)")
     ap.add_argument("--sampler", default="ddim")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--quick", action="store_true",
@@ -90,51 +107,86 @@ def main():
     phase("device_put")
     params = jax.device_put(params, jax.devices()[0])
 
-    B, T = args.batch, 52  # Chinese-CLIP context length
-    ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4,
-                             text_cfg.vocab_size)
-    uncond = jnp.full((B, T), 4, jnp.int32)
-
+    T = 52  # Chinese-CLIP context length
     gen = generate_sd if args.model == "sd15" and not args.quick else generate_sdxl
+    is_full_sdxl = args.model == "sdxl" and not args.quick and size == 1024
 
-    def run(seed):
-        img = gen(models, params, ids, uncond,
-                            jax.random.PRNGKey(seed),
-                            sampler_name=args.sampler, height=size,
-                            width=size, num_steps=args.steps,
-                            guidance_scale=7.5)
-        # force full execution + host sync: on the axon relay platform
-        # block_until_ready() returns before execution completes, so an
-        # honest timer must pull a value to the host.
-        checksum = float(jax.device_get(img.mean()))
-        return checksum
+    def measure_batch(B):
+        """Compile + time one batch size; returns a result dict."""
+        ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 4,
+                                 text_cfg.vocab_size)
+        uncond = jnp.full((B, T), 4, jnp.int32)
 
-    phase("first run (trace+compile)")
-    t0 = time.time()
-    run(0)
-    compile_s = time.time() - t0
-    phase(f"compiled in {compile_s:.0f}s; timing")
+        def run(seed):
+            img = gen(models, params, ids, uncond,
+                      jax.random.PRNGKey(seed),
+                      sampler_name=args.sampler, height=size,
+                      width=size, num_steps=args.steps,
+                      guidance_scale=7.5)
+            # force full execution + host sync: on the axon relay platform
+            # block_until_ready() returns before execution completes, so an
+            # honest timer must pull a value to the host.
+            return float(jax.device_get(img.mean()))
 
-    times = []
-    for i in range(args.repeats):
+        phase(f"batch {B}: first run (trace+compile)")
         t0 = time.time()
-        run(i + 1)
-        times.append(time.time() - t0)
-    dt = min(times)
-    img_per_s = B / dt
-
-    print(json.dumps({
-        "metric": f"{'SD1.5' if args.model == 'sd15' else 'SDXL'} {size}^2 images/sec/chip ({args.sampler.upper()}-{args.steps}, CFG)",
-        "value": round(img_per_s, 4),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_s / A100_REFERENCE_IMG_PER_S, 3),
-        "detail": {
+        run(0)
+        compile_s = time.time() - t0
+        phase(f"batch {B}: compiled in {compile_s:.0f}s; timing")
+        times = []
+        for i in range(args.repeats):
+            t0 = time.time()
+            run(i + 1)
+            times.append(time.time() - t0)
+        dt = min(times)
+        if args.profile:
+            pdir = os.path.join(args.profile, f"b{B}")
+            phase(f"batch {B}: profiling one run -> {pdir}")
+            with jax.profiler.trace(pdir):
+                run(99)
+        out = {
+            "batch": B,
+            "img_per_s": round(B / dt, 4),
             "seconds_per_image": round(dt / B, 3),
             "compile_seconds": round(compile_s, 1),
-            "batch": B,
-            "backend": jax.default_backend(),
-            "device": str(jax.devices()[0]),
-        },
+        }
+        if is_full_sdxl:
+            out["mfu"] = round((B / dt) * SDXL_TFLOP_PER_IMAGE
+                               / V5E_PEAK_BF16_TFLOPS, 4)
+        phase(f"batch {B}: {out['img_per_s']} img/s"
+              + (f", MFU {out['mfu']:.1%}" if "mfu" in out else ""))
+        return out
+
+    results = []
+    for B in (args.sweep or [args.batch]):
+        try:
+            results.append(measure_batch(B))
+        except Exception as e:  # OOM at large batch: record, keep sweeping
+            phase(f"batch {B}: FAILED ({type(e).__name__}: {str(e)[:200]})")
+            results.append({"batch": B, "error": f"{type(e).__name__}: "
+                            f"{str(e)[:200]}"})
+    ok = [r for r in results if "img_per_s" in r]
+    if not ok:
+        raise SystemExit("all batch points failed")
+    best = max(ok, key=lambda r: r["img_per_s"])
+
+    detail = {
+        **{k: best[k] for k in
+           ("seconds_per_image", "compile_seconds", "batch")},
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+    if "mfu" in best:
+        detail["mfu"] = best["mfu"]
+    if args.sweep:
+        detail["sweep"] = results
+
+    print(json.dumps({
+        "metric": f"{'SD1.5' if args.model == 'sd15' else 'SDXL'} {size}^2 images/sec/chip ({args.sampler.upper()}-{args.steps}, CFG, batch {best['batch']})",
+        "value": best["img_per_s"],
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best["img_per_s"] / A100_REFERENCE_IMG_PER_S, 3),
+        "detail": detail,
     }))
 
 

@@ -30,8 +30,14 @@ def _kohya_to_diffusers(key: str) -> str:
     m = re.match(r"^lora_(unet|te\d?)_(.*)$", key)
     if not m:
         return key  # already diffusers/peft-dotted — do not touch
-    prefix = {"unet": "", "te": "text_encoder.", "te1": "text_encoder.",
-              "te2": "text_encoder_2."}[m.group(1)]
+    prefixes = {"unet": "", "te": "text_encoder.", "te1": "text_encoder.",
+                "te2": "text_encoder_2."}
+    prefix = prefixes.get(m.group(1))
+    if prefix is None:  # unknown tower (e.g. lora_te3_): skip, don't crash
+        import warnings
+        warnings.warn(f"unrecognized LoRA tower prefix in key {key!r}; "
+                      "passing through unmapped")
+        return key
     rest = m.group(2)
     # replace _ with . only between path segments that diffusers dots
     for pat in ("down_blocks", "up_blocks", "mid_block", "transformer_blocks",

@@ -94,12 +94,30 @@ def main(argv=None):
     vision = CLIPVisionEncoder(vcfg)
     vparams = convert_clip_vision(sd, vcfg.num_layers)
 
-    def image_features(paths):
-        imgs = np.stack(
-            [np.asarray(Image.open(p).convert("RGB")) for p in paths])
-        pix = preprocess_clip_image(imgs, vcfg.image_size)
-        vout = vision.apply(vparams, jnp.asarray(pix))
+    import jax
+
+    @jax.jit
+    def _tower(pix):
+        vout = vision.apply(vparams, pix)
         return vout.projected if vout.projected is not None else vout.pooled
+
+    def image_features(paths, chunk=32):
+        """Fixed-size chunks (tail zero-padded): FID reference sets are
+        thousands of images — one giant batch would spike host/device
+        memory and recompile for every distinct N. Padding keeps a single
+        jit cache entry; pad rows are sliced off before returning."""
+        feats = []
+        for i in range(0, len(paths), chunk):
+            part = paths[i:i + chunk]
+            imgs = np.stack(
+                [np.asarray(Image.open(p).convert("RGB")) for p in part])
+            pix = preprocess_clip_image(imgs, vcfg.image_size)
+            if len(part) < chunk:
+                pix = np.concatenate(
+                    [pix, np.zeros((chunk - len(part),) + pix.shape[1:],
+                                   pix.dtype)])
+            feats.append(np.asarray(_tower(jnp.asarray(pix)))[:len(part)])
+        return jnp.concatenate([jnp.asarray(f) for f in feats])
 
     vfeat = image_features(args.images)
 
@@ -115,7 +133,10 @@ def main(argv=None):
         fid = fid_from_features(np.asarray(vfeat), np.asarray(ref_feat))
         print(json.dumps({"metric": "CLIP-FID", "value": round(fid, 4),
                           "n": len(args.images),
-                          "n_ref": len(args.fid_ref)}))
+                          "n_ref": len(args.fid_ref),
+                          "note": "CLIP-feature FID (arXiv:2203.06026), NOT "
+                                  "comparable to InceptionV3-FID numbers "
+                                  "such as the paper's"}))
 
 
 if __name__ == "__main__":

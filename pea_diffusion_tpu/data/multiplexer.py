@@ -73,6 +73,15 @@ class BucketBatcher:
                     yield self._pop_batch(largest)
                 else:  # pathological: drop oldest to keep liveness
                     self.buffers[largest].popleft()
+                # re-draw the held target among buckets that actually have
+                # samples: a nonzero-prob bucket the dataset never feeds
+                # would otherwise pin `target` forever and degrade every
+                # future batch to pressure-drained largest-bucket batches
+                nonempty = [i for i, b in enumerate(self.buffers) if b]
+                if nonempty and target not in nonempty:
+                    target = self.rng.choices(
+                        nonempty, weights=[self.probs[i] for i in nonempty],
+                        k=1)[0]
         # drain remaining full batches at end of stream (:104-111)
         while True:
             ready = self._ready()

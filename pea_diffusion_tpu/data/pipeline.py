@@ -12,6 +12,7 @@ import dataclasses
 import queue
 import random
 import threading
+import zlib
 from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -59,12 +60,22 @@ class Preprocessor:
     center_crop: bool = False
     seed: int = 0
 
-    def __post_init__(self):
-        self.rng = random.Random(self.seed)
+    def _sample_rng(self, sample: dict) -> random.Random:
+        """Per-sample RNG keyed on (pipeline seed, sample key).
+
+        A single shared `random.Random` would be consumed concurrently from
+        `parallel_map`'s decode threads — crops would become nondeterministic
+        (and correlated) under num_workers>1. Deriving the stream from the
+        sample's own key makes every crop deterministic and independent of
+        worker count / arrival order. crc32, not hash(): str hashing is
+        salted per-process."""
+        key = f"{self.seed}:{sample.get('__key__', '')}"
+        return random.Random(zlib.crc32(key.encode("utf-8")))
 
     def __call__(self, sample: dict) -> Optional[dict]:
         if "json" not in sample or "jpg" not in sample:
             return None
+        rng = self._sample_rng(sample)
         img, meta = sample["jpg"], sample["json"]
         w, h = img.size
         if not C.passes_quality(meta, w, h, min_area=self.cfg.min_area,
@@ -74,7 +85,7 @@ class Preprocessor:
         if self.cfg.bucketing:
             bucket_id = B.assign_bucket(w, h)
             img, (top, left) = B.resize_and_crop(
-                img, bucket_id, self.center_crop, self.rng)
+                img, bucket_id, self.center_crop, rng)
         else:
             # SD1.5 path: fixed square resolution (custom_dataset.py:79-186)
             bucket_id = 0
@@ -84,7 +95,7 @@ class Preprocessor:
             if self.center_crop:
                 top, left = B.center_crop_coords((nw, nh), (res, res))
             else:
-                top, left = B.random_crop_coords((nw, nh), (res, res), self.rng)
+                top, left = B.random_crop_coords((nw, nh), (res, res), rng)
             img = img.crop((left, top, left + res, top + res))
         prompt, zh_or_not, caption_en = C.route_caption(meta)
         return {
@@ -153,10 +164,19 @@ def make_train_iterator(
     process_index: Optional[int] = None,
     process_count: Optional[int] = None,
     seed: int = 0,
+    start_step: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Shard-partitioned, bucketed, batched stream of train batches.
     Decode + preprocess run on a `cfg.num_workers`-thread pool over RAW
-    (compressed) samples; the shuffle buffer holds bytes, not pixels."""
+    (compressed) samples; the shuffle buffer holds bytes, not pixels.
+
+    `start_step` is the resume position (the reference restores
+    `consumed_samples` in on_load_checkpoint, train_sdxl_zh.py:454-458, to
+    re-seed its loader): it folds the resumed step into the stream seed so
+    shard order, shuffle buffer, crop RNG base and bucket draws all differ
+    from the consumed prefix — the shard-reshuffle equivalence argument for
+    epochless webdataset streams (docs/DESIGN.md §10). Crop coords stay a
+    pure function of (seed, sample key) and so remain reproducible."""
     all_shards = expand_urls(list(cfg.urls))
     if cfg.train_split < 1.0:
         all_shards, _, _ = split_shards(
@@ -164,7 +184,10 @@ def make_train_iterator(
     shards = split_by_process(all_shards, process_index, process_count)
     if not shards:
         raise ValueError("no shards for this process")
-    pre = Preprocessor(cfg, tokenize, cfg.center_crop, seed)
+    # NB: the split seed above stays `seed` (resume must not move samples
+    # across the train/val/test boundary); only stream order re-seeds.
+    stream_seed = seed + start_step
+    pre = Preprocessor(cfg, tokenize, cfg.center_crop, stream_seed)
 
     def decode_and_pre(raw):
         s = decode_sample(raw)
@@ -173,11 +196,11 @@ def make_train_iterator(
         return pre(s)
 
     stream = sample_stream(shards, shuffle_buffer=cfg.shuffle_buffer,
-                           seed=seed, resample=cfg.resample_shards,
+                           seed=stream_seed, resample=cfg.resample_shards,
                            decode=False)
     processed = (p for p in parallel_map(decode_and_pre, stream,
                                          cfg.num_workers) if p is not None)
-    batcher = BucketBatcher(B.BUCKET_PROBS, cfg.batch_size, seed=seed)
+    batcher = BucketBatcher(B.BUCKET_PROBS, cfg.batch_size, seed=stream_seed)
     for batch in batcher(processed):
         yield collate(batch, tokenize, teacher_tokenize, tokenize_zh)
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import io
 import itertools
 import json
+import os
 import random
 import re
 import tarfile
@@ -179,11 +180,19 @@ def _raw_stream(shards, *, shuffle, resample, seed, epochs, handler,
                 rng = random.Random(seed)
                 epoch_iter = (itertools.count() if epochs is None
                               else range(epochs))
+                # PEA_READER_THREADS=1 gives a strictly deterministic
+                # stream order (C++ readers >1 interleave shards by
+                # arrival); the default trades that for throughput — the
+                # reservoir shuffle downstream randomizes order anyway,
+                # and per-sample crop RNG is key-derived, so training
+                # statistics are identical either way (docs/DESIGN.md §10)
+                n_threads = int(os.environ.get("PEA_READER_THREADS", "4"))
                 for _ in epoch_iter:
                     order = list(shards)
                     if shuffle:
                         rng.shuffle(order)
-                    yield from iter_native_samples(order)
+                    yield from iter_native_samples(order,
+                                                   num_threads=n_threads)
                 return
         except Exception as e:  # fall back silently but loudly once
             print(f"[wds_reader] native reader unavailable: {e!r}")

@@ -21,6 +21,10 @@ def gaussian_stats(features: np.ndarray):
     f = np.asarray(features, np.float64)
     if f.ndim != 2:
         raise ValueError(f"features must be [N, D], got {f.shape}")
+    if f.shape[0] < 2:
+        raise ValueError(
+            f"FID needs >= 2 samples per feature set to estimate a "
+            f"covariance (ddof=1), got N={f.shape[0]}")
     mu = f.mean(axis=0)
     cov = np.cov(f, rowvar=False)
     return mu, np.atleast_2d(cov)
@@ -31,10 +35,13 @@ def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
 
     Tr(sqrtm(C1 C2)) is computed via the symmetric form
     sqrtm(C1) C2 sqrtm(C1) (similar matrix, PSD) so a plain `eigh` suffices —
-    no scipy sqrtm, no complex arithmetic."""
+    no scipy sqrtm, no complex arithmetic. `eps` regularizes both
+    covariances (+eps*I, the pytorch-fid stabilizer) so near-singular
+    estimates from small feature sets stay PSD."""
     mu1, mu2 = np.asarray(mu1, np.float64), np.asarray(mu2, np.float64)
-    cov1 = np.asarray(cov1, np.float64)
-    cov2 = np.asarray(cov2, np.float64)
+    d = np.asarray(cov1).shape[0]
+    cov1 = np.asarray(cov1, np.float64) + eps * np.eye(d)
+    cov2 = np.asarray(cov2, np.float64) + eps * np.eye(d)
     diff = mu1 - mu2
 
     # sqrtm(C1) via eigendecomposition (C1 symmetric PSD up to noise)

@@ -189,6 +189,108 @@ def test_full_train_iterator(shards):
     assert (areas >= 500 * 500).all()
 
 
+def test_bucket_batcher_recovers_from_starved_target():
+    """If the held target bucket never receives samples (dataset lacks that
+    aspect), the pressure valve must re-draw the target among non-empty
+    buckets — the batcher then returns to the NORMAL low-footprint path
+    instead of pinning ~max_total_buffer samples and pressure-draining
+    forever (ADVICE r2 item 1). Distinguisher: with the bug, the buffer sits
+    at the cap for the rest of the stream; fixed, it drops back after the
+    first valve fire and stays low."""
+    rng = np.random.RandomState(11)
+    n = 20_000
+    # feed only {3,4,5}, proportional to their probs (sustainable inflow);
+    # the other six buckets keep nonzero BUCKET_PROBS and stay empty forever
+    p = np.asarray(B.BUCKET_PROBS)[[3, 4, 5]]
+    feed = rng.choice([3, 4, 5], n, p=p / p.sum())
+    samples = ({"bucket_id": int(b)} for b in feed)
+    batcher = BucketBatcher(B.BUCKET_PROBS, 8, max_total_buffer=64, seed=2)
+    totals = []
+    batches = []
+    for batch in batcher(samples):
+        batches.append(batch)
+        totals.append(batcher._total())
+    assert len(batches) >= 0.95 * (n // 8)
+    assert {b[0]["bucket_id"] for b in batches} <= {3, 4, 5}
+    # after warmup the buffer must regularly drop well below the cap (the
+    # buggy batcher holds >= cap-8 after EVERY batch; the fixed one drains
+    # in bursts after each re-draw, so most post-batch totals are low)
+    tail = np.asarray(totals[50:])
+    assert (tail < 56).mean() > 0.5, tail.mean()
+
+
+def test_crop_determinism_across_workers(shards):
+    """Crop coords must be a pure function of (seed, sample key): identical
+    across runs and across num_workers (the shared-RNG decode-thread race:
+    one random.Random consumed from parallel_map's pool made crops
+    nondeterministic under num_workers>1)."""
+    from pea_diffusion_tpu.data.pipeline import Preprocessor, parallel_map
+    from pea_diffusion_tpu.data.wds_reader import (decode_sample,
+                                                   expand_urls, sample_stream)
+
+    cfg = DataConfig(urls=(shards,), batch_size=4, min_area=500 * 500)
+    pre = Preprocessor(cfg, _tok(), center_crop=False, seed=3)
+
+    def run(workers):
+        def decode_and_pre(raw):
+            s = decode_sample(raw)
+            if s is None or "jpg" not in s:
+                return None
+            out = pre(s)
+            return None if out is None else (
+                s["__key__"], out["crops_coords_top_left"])
+        stream = sample_stream(expand_urls(shards)[:2], shuffle_buffer=0,
+                               seed=0, resample=False, decode=False,
+                               epochs=1)
+        return dict(p for p in parallel_map(decode_and_pre, stream, workers)
+                    if p is not None)
+
+    w1, w4a, w4b = run(1), run(4), run(4)
+    assert w1 and w1 == w4a == w4b
+    # not vacuous: the stream contains aspect-mismatched images whose random
+    # crop has slack, so at least one coordinate must be nonzero
+    assert any(c != (0, 0) for c in w1.values())
+    # distinct samples get independent streams, not one shared sequence:
+    # changing the pipeline seed moves the crops
+    pre2 = Preprocessor(cfg, _tok(), center_crop=False, seed=4)
+    pre2_coords = {}
+    for raw in sample_stream(expand_urls(shards)[:2], shuffle_buffer=0,
+                             seed=0, resample=False, decode=False,
+                             epochs=1):
+        s = decode_sample(raw)
+        if s is not None and "jpg" in s:
+            out = pre2(s)
+            if out is not None:
+                pre2_coords[s["__key__"]] = out["crops_coords_top_left"]
+    assert pre2_coords != w1
+
+
+def test_resume_start_step_reshuffles_stream(shards, monkeypatch):
+    """start_step (the consumed_samples restore analog,
+    train_sdxl_zh.py:454-458) must (a) reproduce the identical stream for
+    the same value and (b) move the stream for a different value.
+    PEA_READER_THREADS=1: multi-threaded C++ readers interleave shards by
+    arrival, so strict stream-order determinism requires one reader
+    (docs/DESIGN.md §10; crop determinism per KEY holds regardless —
+    test_crop_determinism_across_workers)."""
+    monkeypatch.setenv("PEA_READER_THREADS", "1")
+    cfg = DataConfig(urls=(shards,), batch_size=4, min_area=500 * 500)
+
+    def first_batch(start_step):
+        it = make_train_iterator(cfg, _tok(), seed=0, process_index=0,
+                                 process_count=1, start_step=start_step)
+        b = next(it)
+        return b["input_ids"], b["crops_coords_top_left"]
+
+    ids0a, crops0a = first_batch(0)
+    ids0b, crops0b = first_batch(0)
+    np.testing.assert_array_equal(ids0a, ids0b)
+    np.testing.assert_array_equal(crops0a, crops0b)
+    ids1, crops1 = first_batch(100)
+    assert (not np.array_equal(ids0a, ids1)
+            or not np.array_equal(crops0a, crops1))
+
+
 def test_split_shards():
     from pea_diffusion_tpu.data.wds_reader import split_shards
 

@@ -12,8 +12,12 @@ def test_frechet_diagonal_closed_form():
     a = np.array([1.0, 2.0, 3.0, 4.0])
     b = np.array([2.0, 2.0, 1.0, 9.0])
     expect = 1.0 + ((np.sqrt(a) - np.sqrt(b)) ** 2).sum()
-    got = frechet_distance(mu1, np.diag(a), mu2, np.diag(b))
+    got = frechet_distance(mu1, np.diag(a), mu2, np.diag(b), eps=0.0)
     np.testing.assert_allclose(got, expect, rtol=1e-10)
+    # default eps*I regularization (pytorch-fid stabilizer) perturbs the
+    # exact value by at most O(eps * d)
+    got_eps = frechet_distance(mu1, np.diag(a), mu2, np.diag(b))
+    assert abs(got_eps - expect) < 1e-5
 
 
 def test_frechet_identical_is_zero():
