@@ -29,8 +29,9 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--size", type=int, default=1024)
     # default = the best measured single-chip operating point (BASELINE.md
-    # round-3 sweep: b8 0.2763 img/s > b1 0.2587 > b2 0.2467); the
-    # reference's own operating point is batch 4 (tests/test_sdxl_zh.py:461)
+    # round-3 sweep with the GN per-channel-sums restructure: b8 0.2824
+    # img/s > b1 0.2515; pre-restructure b1 0.2587 / b2 0.2467 / b8 0.2763);
+    # the reference's operating point is batch 4 (tests/test_sdxl_zh.py:461)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--sweep", type=int, nargs="+", default=None,
                     metavar="B",

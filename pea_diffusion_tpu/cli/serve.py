@@ -8,8 +8,8 @@ Use --demo for the tiny random-weight stack.
 
 Request batching (--max-batch N): concurrent requests arriving within
 --batch-window-ms are generated as ONE device batch — the measured v5e
-operating curve (BASELINE.md round 3: batch 8 = 0.276 img/s vs batch 1 =
-0.259) makes this strictly better queueing under load. Batch sizes round
+operating curve (BASELINE.md round 3: batch 8 = 0.282 img/s vs batch 1 =
+0.252) makes this strictly better queueing under load. Batch sizes round
 up to powers of two (bounded program count; persistent compile cache +
 --aot-cache amortize each size). Each request's initial noise is drawn
 from ITS OWN seed host-side and passed via the init_noise operand, so
