@@ -54,6 +54,31 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype, name="linear_2")(x)
 
 
+def group_norm_grouped(x, scale, bias, num_groups: int, eps: float):
+    """The pre-round-3 grouped-reshape formulation ([..., G, C/G] reduce),
+    kept as an opt-in (PEA_GN_GROUPED=1) latency knob: at inference batch 1
+    it measured FASTER end-to-end than the per-channel-sums form below
+    (0.2587 vs 0.2515 img/s, BASELINE.md round 3) because at [1..2, H, W, C]
+    the grouped reduce already tiles well and skips the two-step channel
+    combine; at batch 8 and in KD training it LOSES (superlinear
+    convert+reduce scaling + 125MB fp32 temps, DESIGN.md §9c). Identical
+    math up to reduction-order rounding."""
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    shape = x.shape
+    c = shape[-1]
+    g = num_groups
+    xg = x.reshape(shape[:-1] + (g, c // g))
+    red = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+    mean = xg.mean(axis=red, keepdims=True)
+    mean2 = (xg * xg).mean(axis=red, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+    x = xg.reshape(shape)
+    x = x * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return x.astype(orig_dtype)
+
+
 def group_norm(x, scale, bias, num_groups: int, eps: float):
     """fp32 GroupNorm over NHWC / N...C input with per-channel affine.
 
@@ -66,7 +91,13 @@ def group_norm(x, scale, bias, num_groups: int, eps: float):
     reduce is XLA's best-tiled pattern and the big tensor is only ever
     touched by elementwise chains that fuse without materializing fp32.
     (2) stats still use one pass (E[x^2]-E[x]^2, fp32 accumulation) — same
-    math as before up to reduction-order rounding."""
+    math as before up to reduction-order rounding.
+
+    PEA_GN_GROUPED=1 selects the grouped-reshape form above — the measured
+    single-image (batch-1) latency knob for serving."""
+    import os
+    if os.environ.get("PEA_GN_GROUPED"):
+        return group_norm_grouped(x, scale, bias, num_groups, eps)
     orig_dtype = x.dtype
     shape = x.shape
     c = shape[-1]

@@ -84,15 +84,18 @@ def build_models(
     schedule: NoiseScheduleConfig = SDXL_SCHEDULE,
     dtype=jnp.bfloat16,
     vae_dtype=jnp.float32,
+    attn_backend: str = "auto",
 ) -> PEAModels:
     """vae_dtype: fp32 reproduces the reference's upcast islands exactly;
     bf16 is the TPU fast path (fp32 exponent range, so the fp16-overflow
-    problem the reference works around does not occur; norms stay fp32)."""
+    problem the reference works around does not occur; norms stay fp32).
+    attn_backend: "xla" for tensor-parallel runs (parallel/tp.py — the
+    Pallas kernels are single-device custom calls GSPMD can't partition)."""
     _, text_fn = make_text_encoder_fn(family, text_cfg, dtype)
     return PEAModels(
         text_encoder_fn=text_fn,
         adapter=PEAAdapter(adapter_cfg, dtype=dtype),
-        unet=UNet2DCondition(unet_cfg, dtype=dtype),
+        unet=UNet2DCondition(unet_cfg, dtype=dtype, attn_backend=attn_backend),
         vae=AutoencoderKL(vae_cfg, dtype=vae_dtype),
         schedule=schedule,
         vae_scaling=vae_cfg.scaling_factor,

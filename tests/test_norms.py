@@ -52,3 +52,17 @@ def test_group_norm_bf16_input_stable():
     out = m.apply(params, x)
     assert out.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_group_norm_grouped_matches_default():
+    """PEA_GN_GROUPED opt-in (the measured batch-1 latency knob) computes
+    the same GroupNorm as the per-channel-sums default."""
+    from pea_diffusion_tpu.models.layers import group_norm, group_norm_grouped
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(3, 5, 5, 64).astype(np.float32) * 2 - 1)
+    scale = jnp.asarray(rng.randn(64).astype(np.float32))
+    bias = jnp.asarray(rng.randn(64).astype(np.float32))
+    a = group_norm(x, scale, bias, 16, 1e-5)
+    b = group_norm_grouped(x, scale, bias, 16, 1e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
