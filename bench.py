@@ -49,6 +49,12 @@ def main():
                     choices=["bfloat16", "float32"])
     ap.add_argument("--model", default="sdxl", choices=["sdxl", "sd15"],
                     help="sd15 = 512^2 SD1.5 stack (BASELINE config 1)")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="int8: serve the UNet resnet convs on the int8 MXU "
+                         "path (quant/int8.py). Throughput is value-"
+                         "independent, so the bench skips calibration "
+                         "(scales default); quality numerics are covered by "
+                         "tests/test_quant_int8.py and cli.generate --quant")
     args = ap.parse_args()
 
     import jax
@@ -89,7 +95,7 @@ def main():
     models = build_models(
         family="chinese_clip", text_cfg=text_cfg, adapter_cfg=adapter_cfg,
         unet_cfg=unet_cfg, vae_cfg=vae_cfg, dtype=jnp.bfloat16,
-        vae_dtype=vae_dtype)
+        vae_dtype=vae_dtype, conv_quant=args.quant)
     # host-side init (numpy, no device compiles), bf16 big towers, then one
     # device_put — init-time remote compiles would otherwise dominate
     import sys
@@ -107,6 +113,17 @@ def main():
                 "unet": jnp.bfloat16, "vae": vae_dtype})
     phase("device_put")
     params = jax.device_put(params, jax.devices()[0])
+
+    if args.quant == "int8":
+        # one jitted on-device pass (a host-side transform of the 2.6GB
+        # UNet tree would cost minutes of 1-core CPU; per-leaf dispatch
+        # over the relay would too)
+        from pea_diffusion_tpu.quant import quantize_unet_params
+        phase("quantize unet -> int8")
+        params = dict(params)
+        params["unet"] = jax.jit(
+            lambda p: quantize_unet_params(p, None, default_amax=4.0)
+        )(params["unet"])
 
     T = 52  # Chinese-CLIP context length
     gen = generate_sd if args.model == "sd15" and not args.quick else generate_sdxl

@@ -134,6 +134,11 @@ def main(argv=None):
                          "(utils/startup.py)")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="disable the persistent XLA compile cache")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="int8: PTQ the UNet resnet convs onto the int8 MXU "
+                         "path (quant/int8.py) — calibrates on the prompt's "
+                         "conditioning at a spread of timesteps, then "
+                         "serves the quantized tree")
     args = ap.parse_args(argv)
 
     if not args.no_compile_cache:
@@ -151,6 +156,14 @@ def main(argv=None):
                 ap.error(f"--{req.replace('_', '-')} required without --demo")
         models, params, tokenize, size = build_real(args)
         steps = args.steps
+
+    if args.quant == "int8":
+        from ..quant import quantize_for_serving
+
+        print("calibrating int8 conv ranges...", file=sys.stderr)
+        models, params = quantize_for_serving(
+            models, params, tokenize([args.prompt]),
+            tokenize([args.negative_prompt]), size)
 
     pipe = StableDiffusionXLPEAPipeline(models, params, args.sampler,
                                         aot_dir=args.aot_cache)

@@ -130,6 +130,12 @@ def main(argv=None):
                     help="co-batch up to N concurrent requests into one "
                          "device batch (the measured best v5e operating "
                          "point; 1 = no batching)")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="int8: PTQ the UNet resnet convs onto the int8 "
+                         "MXU path at startup (quant/int8.py); calibrates "
+                         "on --calib-prompt")
+    ap.add_argument("--calib-prompt", default="一只戴着帽子的可爱猫咪",
+                    help="calibration prompt for --quant int8")
     ap.add_argument("--batch-window-ms", type=int, default=150,
                     help="how long the batcher waits to fill a batch")
     args = ap.parse_args(argv)
@@ -151,6 +157,12 @@ def main(argv=None):
         args.steps = args.default_steps
         models, params, tokenize, size = build_real(args)
         default_steps = args.default_steps
+
+    if args.quant == "int8":
+        from ..quant import quantize_for_serving
+        models, params = quantize_for_serving(
+            models, params, tokenize([args.calib_prompt]),
+            tokenize([""]), size)
 
     pipe = StableDiffusionXLPEAPipeline(models, params, args.sampler,
                                         aot_dir=args.aot_cache)

@@ -153,20 +153,30 @@ class GroupNorm(nn.Module):
 
 class ResnetBlock2D(nn.Module):
     """GN-silu-conv x2 with timestep bias and 1x1 shortcut (diffusers
-    ResnetBlock2D, output_scale_factor=1)."""
+    ResnetBlock2D, output_scale_factor=1).
+
+    conv_quant="int8" swaps the two 3x3 convs for QConvInt8 (int8 MXU
+    serving path, quant/int8.py); shortcut/norms/time proj stay float."""
 
     out_channels: int
     norm_num_groups: int = 32
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    conv_quant: str = "none"
+
+    def _conv3x3(self, name: str):
+        if self.conv_quant == "int8":
+            from ..quant.int8 import QConvInt8
+            return QConvInt8(self.out_channels, (3, 3), name=name)
+        return nn.Conv(self.out_channels, (3, 3), padding=1,
+                       dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x, temb: Optional[jnp.ndarray] = None):
         in_channels = x.shape[-1]
         h = GroupNorm(self.norm_num_groups, self.eps, act="silu",
                       name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
+        h = self._conv3x3("conv1")(h)
         t = None
         if temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype,
@@ -174,8 +184,7 @@ class ResnetBlock2D(nn.Module):
         # time-emb add + GN + silu fuse into one HBM pass on TPU
         h = GroupNorm(self.norm_num_groups, self.eps, act="silu",
                       name="norm2")(h, extra_bias=t)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv2")(h)
+        h = self._conv3x3("conv2")(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         name="conv_shortcut")(x)

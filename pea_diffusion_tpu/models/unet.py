@@ -36,6 +36,7 @@ class UNet2DCondition(nn.Module):
     config: UNetConfig
     dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
+    conv_quant: str = "none"   # "int8": QConvInt8 resnet convs (quant/int8.py)
 
     def _transformer(self, channels: int, block_idx: int, depth: int, name: str):
         heads = self.config.num_attention_heads[block_idx]
@@ -99,6 +100,7 @@ class UNet2DCondition(nn.Module):
             depths = cfg.down_block_layers(i)
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=self.dtype,
+                                  conv_quant=self.conv_quant,
                                   name=f"down_{i}_resnet_{j}")(h, temb)
                 if depths[j] > 0:
                     h = self._transformer(out_ch, i, depths[j],
@@ -121,11 +123,13 @@ class UNet2DCondition(nn.Module):
         # --- mid ---------------------------------------------------------------
         mid_ch = cfg.block_out_channels[-1]
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
+                          conv_quant=self.conv_quant,
                           name="mid_resnet_0")(h, temb)
         if cfg.mid_transformer_layers > 0:
             h = self._transformer(mid_ch, cfg.num_blocks - 1,
                                   cfg.mid_transformer_layers, "mid_attn")(h, context)
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
+                          conv_quant=self.conv_quant,
                           name="mid_resnet_1")(h, temb)
         if mid_block_additional_residual is not None:
             h = h + mid_block_additional_residual.astype(h.dtype)
@@ -140,6 +144,7 @@ class UNet2DCondition(nn.Module):
                 skip = res_stack.pop()
                 h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
                 h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=self.dtype,
+                                  conv_quant=self.conv_quant,
                                   name=f"up_{i}_resnet_{j}")(h, temb)
                 if depths[j] > 0:
                     h = self._transformer(out_ch, cfg.num_blocks - 1 - i,

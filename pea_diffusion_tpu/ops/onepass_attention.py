@@ -100,9 +100,9 @@ def _auto_block_q(sq_p: int, skv_p: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("heads", "head_dim", "scale",
                                              "block_q", "interpret"))
-def onepass_forward(q, k, v, heads, head_dim, scale=None, block_q=None,
-                    interpret=False):
-    """q [B, Sq, H*D] x k,v [B, Skv, H*D] -> [B, Sq, H*D]."""
+def _forward_impl(q, k, v, heads, head_dim, scale=None, block_q=None,
+                  interpret=False):
+    """Single-device kernel launch: q [B,Sq,H*D] x k,v [B,Skv,H*D]."""
     b, sq, feat = q.shape
     skv = k.shape[1]
     assert feat == heads * head_dim, (feat, heads, head_dim)
@@ -151,6 +151,99 @@ def onepass_forward(q, k, v, heads, head_dim, scale=None, block_q=None,
         interpret=interpret,
     )(q, k, v)
     return out[:, :sq, :] if sq_p != sq else out
+
+
+# --- SPMD partitioning (tensor-parallel inference) -------------------------
+#
+# pallas_call lowers to a custom call, which the SPMD partitioner treats as
+# opaque: under a sharded jit it would all-gather q/k/v onto every device
+# and run the full kernel replicated. The head axis is embarrassingly
+# parallel, so we register the partitioning ourselves
+# (jax.experimental.custom_partitioning): batch and the [H*D] feature axis
+# shard freely (feature in whole 128-lane head groups — the kernel's own
+# grid unit), Skv is marked need-replication (softmax reduces over it).
+# Under the tensor-parallel layout (parallel/tp.py) the to_q/k/v outputs
+# arrive head-sharded, each device runs the kernel on its local heads, and
+# no attention collective is inserted at all — the one psum stays where
+# Megatron puts it, after to_out.
+
+
+def _axis_count(mesh, entry) -> int:
+    if entry is None:
+        return 1
+    names = (entry,) if isinstance(entry, str) else tuple(entry)
+    n = 1
+    for nm in names:
+        n *= mesh.shape[nm]
+    return n
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward(heads, head_dim, scale, block_q, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    group = max(1, 128 // head_dim)
+
+    def _fwd(q, k, v):
+        return _forward_impl(q, k, v, heads, head_dim, scale, block_q,
+                             interpret)
+
+    fwd = custom_partitioning(_fwd)
+
+    def _norm_spec(sharding, rank=3):
+        spec = tuple(sharding.spec) if sharding.spec is not None else ()
+        return tuple(spec) + (None,) * (rank - len(spec))
+
+    def _plan(mesh, q_sharding):
+        b_ax, sq_ax, f_ax = _norm_spec(q_sharding)
+        nf = _axis_count(mesh, f_ax)
+        if heads % nf != 0 or (heads // nf) % group != 0:
+            f_ax = None  # shard would split a 128-lane head group
+        qs = NamedSharding(mesh, P(b_ax, sq_ax, f_ax))
+        kvs = NamedSharding(mesh, P(b_ax, None, f_ax))
+        return qs, kvs
+
+    def partition(mesh, arg_shapes, result_shape):
+        qs, kvs = _plan(mesh, arg_shapes[0].sharding)
+
+        def lower_fn(q, k, v):
+            local_heads = q.shape[-1] // head_dim
+            return _forward_impl(q, k, v, local_heads, head_dim, scale,
+                                 block_q, interpret)
+
+        return mesh, lower_fn, qs, (qs, kvs, kvs)
+
+    def infer_sharding_from_operands(mesh, arg_shapes, shape):
+        qs, _ = _plan(mesh, arg_shapes[0].sharding)
+        return qs
+
+    def propagate_user_sharding(mesh, user_shape):
+        return user_shape.sharding
+
+    fwd.def_partition(
+        partition,
+        infer_sharding_from_operands=infer_sharding_from_operands,
+        propagate_user_sharding=propagate_user_sharding,
+        sharding_rule="b sq f, b skv f, b skv f -> b sq f",
+        need_replication_factors=("skv",),
+    )
+    return fwd
+
+
+def onepass_forward(q, k, v, heads, head_dim, scale=None, block_q=None,
+                    interpret=False):
+    """q [B, Sq, H*D] x k,v [B, Skv, H*D] -> [B, Sq, H*D].
+
+    Under an ambient mesh (jax.set_mesh) the call goes through the
+    custom-partitioned wrapper so tensor-parallel programs keep the Pallas
+    kernel per-shard instead of falling back to XLA attention."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(head_dim)
+    if not jax.sharding.get_abstract_mesh().empty:
+        return _partitioned_forward(heads, head_dim, scale, block_q,
+                                    interpret)(q, k, v)
+    return _forward_impl(q, k, v, heads, head_dim, scale, block_q, interpret)
 
 
 # --- differentiable wrapper ------------------------------------------------

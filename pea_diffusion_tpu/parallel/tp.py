@@ -40,12 +40,13 @@ Any leaf whose target dim is not divisible by the `model` axis size falls
 back to replicated, so every (config, tp) combination is valid; tp values
 that also divide the head counts are the efficient ones.
 
-The Pallas flash/one-pass attention kernels are single-device programs
-(XLA cannot partition a custom call), so tensor-parallel runs use the XLA
-attention path (`attn_backend="xla"`); at SDXL shapes attention is ~26% of
-the step (docs/DESIGN.md §9c), so tp=2 still wins wall-clock latency.
-Registering the kernels with `jax.experimental.custom_partitioning` (the
-head axis is embarrassingly parallel) is the known follow-up.
+The one-pass attention kernel is registered with
+`jax.experimental.custom_partitioning` (ops/onepass_attention.py): under
+an ambient mesh it shards over batch + whole 128-lane head groups, so
+tensor-parallel runs keep the Pallas kernel per-shard (no attention
+collective — the one psum stays after to_out). `attn_backend="xla"` also
+works and is what the CPU-mesh UNet parity tests use (the partition path
+itself is tested in interpret mode, tests/test_onepass_partitioning.py).
 """
 from __future__ import annotations
 

@@ -85,17 +85,21 @@ def build_models(
     dtype=jnp.bfloat16,
     vae_dtype=jnp.float32,
     attn_backend: str = "auto",
+    conv_quant: str = "none",
 ) -> PEAModels:
     """vae_dtype: fp32 reproduces the reference's upcast islands exactly;
     bf16 is the TPU fast path (fp32 exponent range, so the fp16-overflow
     problem the reference works around does not occur; norms stay fp32).
-    attn_backend: "xla" for tensor-parallel runs (parallel/tp.py — the
-    Pallas kernels are single-device custom calls GSPMD can't partition)."""
+    attn_backend: "xla" is the plain-einsum path the CPU-mesh parity tests
+    use (the Pallas kernel itself partitions via custom_partitioning).
+    conv_quant: "int8" serves the UNet's resnet convs on the int8 MXU path
+    (quant/int8.py — pair with quantize_unet_params on the loaded tree)."""
     _, text_fn = make_text_encoder_fn(family, text_cfg, dtype)
     return PEAModels(
         text_encoder_fn=text_fn,
         adapter=PEAAdapter(adapter_cfg, dtype=dtype),
-        unet=UNet2DCondition(unet_cfg, dtype=dtype, attn_backend=attn_backend),
+        unet=UNet2DCondition(unet_cfg, dtype=dtype, attn_backend=attn_backend,
+                             conv_quant=conv_quant),
         vae=AutoencoderKL(vae_cfg, dtype=vae_dtype),
         schedule=schedule,
         vae_scaling=vae_cfg.scaling_factor,

@@ -1,0 +1,150 @@
+"""Int8 PTQ serving path (quant/int8.py).
+
+The reference has no quantization story; this is the TPU-native lever for
+breaking the measured bf16 roofline (DESIGN.md §9c: 28-29% MFU,
+bandwidth/fusion-bound — int8 conv measured 1.5x the bf16 conv rate on
+v5e, tools/bench_int8.py). Tests cover the weight quantizer, the
+calibration interceptor, the param-tree transform against the quant
+model's expected structure, and float-vs-int8 UNet output numerics.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pea_diffusion_tpu.configs.unet import SDXL_UNET_TINY
+from pea_diffusion_tpu.models.unet import UNet2DCondition
+from pea_diffusion_tpu.quant import (
+    calibrate_conv_ranges,
+    quantize_unet_params,
+    quantize_weight,
+)
+
+
+def _setup(dtype=jnp.float32):
+    ucfg = SDXL_UNET_TINY
+    unet = UNet2DCondition(ucfg, dtype=dtype, attn_backend="xla")
+    qunet = UNet2DCondition(ucfg, dtype=dtype, attn_backend="xla",
+                            conv_quant="int8")
+    pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                  - 6 * ucfg.addition_time_embed_dim)
+    B, T, H = 2, 12, 16
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    latents = jax.random.normal(k[0], (B, H, H, 4), dtype)
+    context = jax.random.normal(k[1], (B, T, ucfg.cross_attention_dim), dtype)
+    t = jnp.array([500, 10])
+    added = {
+        "text_embeds": jnp.ones((B, pooled_dim), dtype) * 0.1,
+        "time_ids": jnp.tile(
+            jnp.array([[128, 128, 0, 0, 128, 128]], jnp.float32), (B, 1)),
+    }
+    params = unet.init(k[2], latents, t, context, added)
+    return unet, qunet, params, (latents, t, context, added)
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(3, 3, 32, 64).astype(np.float32))
+    kq, ws = quantize_weight(w)
+    assert kq.dtype == jnp.int8 and ws.shape == (64,)
+    deq = kq.astype(jnp.float32) * ws
+    # max error is half an int8 step per channel
+    err = np.max(np.abs(np.asarray(deq - w)), axis=(0, 1, 2))
+    assert (err <= np.asarray(ws) * 0.5 + 1e-6).all()
+
+
+def test_calibration_covers_all_resnet_convs():
+    unet, _, params, args = _setup()
+    ranges = calibrate_conv_ranges(unet, params, [args])
+    # tiny config: count resnet blocks from the param tree
+    n_resnets = sum(1 for name in params["params"] if "resnet" in name)
+    assert len(ranges) == 2 * n_resnets, sorted(ranges)
+    assert all(v > 0 for v in ranges.values())
+    assert any(k.endswith("/conv1") for k in ranges)
+
+
+def test_transform_matches_quant_model_structure():
+    unet, qunet, params, args = _setup()
+    ranges = calibrate_conv_ranges(unet, params, [args])
+    qparams = quantize_unet_params(params, ranges)
+
+    latents, t, context, added = args
+    expect = jax.eval_shape(
+        lambda: qunet.init(jax.random.PRNGKey(0), latents, t, context, added))
+    got_paths = {jax.tree_util.keystr(p): (l.shape, l.dtype)
+                 for p, l in jax.tree_util.tree_leaves_with_path(qparams)}
+    want_paths = {jax.tree_util.keystr(p): (l.shape, l.dtype)
+                  for p, l in jax.tree_util.tree_leaves_with_path(expect)}
+    assert set(got_paths) == set(want_paths)
+    for k in want_paths:
+        assert got_paths[k][0] == want_paths[k][0], k
+    # dtypes: int8 kernels present
+    assert any(d == jnp.int8 for _, d in got_paths.values())
+
+
+def test_quant_unet_close_to_float():
+    unet, qunet, params, args = _setup()
+    ref = jax.jit(unet.apply)(params, *args)
+    ranges = calibrate_conv_ranges(unet, params, [args])
+    qparams = quantize_unet_params(params, ranges)
+    out = jax.jit(qunet.apply)(qparams, *args)
+    assert out.shape == ref.shape
+    a, b = np.asarray(ref, np.float64), np.asarray(out, np.float64)
+    assert np.isfinite(b).all()
+    rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+    # random init + 8-bit convs: demands close agreement, catches any
+    # scale/layout bug (a wrong scale or transposed kernel gives rel ~ 1)
+    assert rel < 0.05, rel
+    # and the quantization must actually be doing something nontrivial
+    assert rel > 1e-6
+
+
+def test_quantize_for_serving_end_to_end():
+    """The CLI-facing flow: build float bundle -> calibrate on a prompt ->
+    quantized bundle generates an image close to the float one."""
+    from pea_diffusion_tpu.configs.adapter import AdapterConfig
+    from pea_diffusion_tpu.configs.text_encoder import BERT_TINY
+    from pea_diffusion_tpu.configs.unet import VAE_TINY
+    from pea_diffusion_tpu.pipelines.factory import (
+        build_models, init_params_host)
+    from pea_diffusion_tpu.pipelines.text2image import generate_sdxl
+    from pea_diffusion_tpu.quant import quantize_for_serving
+
+    ucfg = SDXL_UNET_TINY
+    pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                  - 6 * ucfg.addition_time_embed_dim)
+    acfg = AdapterConfig(BERT_TINY.hidden_size, (96, pooled_dim),
+                         head_dim=ucfg.cross_attention_dim)
+    models = build_models(
+        family="chinese_clip", text_cfg=BERT_TINY, adapter_cfg=acfg,
+        unet_cfg=ucfg, vae_cfg=VAE_TINY, dtype=jnp.float32,
+        vae_dtype=jnp.float32, attn_backend="xla")
+    params = init_params_host(models, "chinese_clip", BERT_TINY, seq_len=12)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 4,
+                             BERT_TINY.vocab_size)
+    uncond = jnp.full((1, 12), 4, jnp.int32)
+
+    def gen(m, p):
+        return generate_sdxl(m, p, ids, uncond, jax.random.PRNGKey(7),
+                             sampler_name="ddim", height=128, width=128,
+                             num_steps=4, guidance_scale=7.5)
+
+    ref = gen(models, params)
+    qmodels, qparams = quantize_for_serving(models, params, ids, uncond, 128)
+    assert qmodels.unet.conv_quant == "int8"
+    out = gen(qmodels, qparams)
+    assert out.shape == ref.shape
+    # int8 convs perturb the trajectory; image must stay finite and
+    # strongly correlated with the float one
+    a = np.asarray(ref, np.float64).ravel()
+    b = np.asarray(out, np.float64).ravel()
+    assert np.isfinite(b).all()
+    r = np.corrcoef(a, b)[0, 1]
+    assert r > 0.9, r
+
+
+def test_uncalibrated_fallback_runs():
+    _, qunet, params, args = _setup()
+    qparams = quantize_unet_params(params, None, default_amax=4.0)
+    out = qunet.apply(qparams, *args)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
