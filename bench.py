@@ -92,10 +92,12 @@ def main():
         size = args.size
 
     vae_dtype = jnp.bfloat16 if args.vae_dtype == "bfloat16" else jnp.float32
+    # always build/init the FLOAT bundle; --quant transforms it below
+    # exactly like serving does (quantize_for_serving minus calibration)
     models = build_models(
         family="chinese_clip", text_cfg=text_cfg, adapter_cfg=adapter_cfg,
         unet_cfg=unet_cfg, vae_cfg=vae_cfg, dtype=jnp.bfloat16,
-        vae_dtype=vae_dtype, conv_quant=args.quant)
+        vae_dtype=vae_dtype)
     # host-side init (numpy, no device compiles), bf16 big towers, then one
     # device_put — init-time remote compiles would otherwise dominate
     import sys
@@ -118,12 +120,17 @@ def main():
         # one jitted on-device pass (a host-side transform of the 2.6GB
         # UNet tree would cost minutes of 1-core CPU; per-leaf dispatch
         # over the relay would too)
+        import dataclasses
+
         from pea_diffusion_tpu.quant import quantize_unet_params
         phase("quantize unet -> int8")
         params = dict(params)
         params["unet"] = jax.jit(
             lambda p: quantize_unet_params(p, None, default_amax=4.0)
         )(params["unet"])
+        models = dataclasses.replace(
+            models,
+            unet=dataclasses.replace(models.unet, conv_quant="int8"))
 
     T = 52  # Chinese-CLIP context length
     gen = generate_sd if args.model == "sd15" and not args.quick else generate_sdxl

@@ -37,6 +37,29 @@ def _lin(sd, name):
     return out
 
 
+def _geglu_split(lin):
+    """Fused GEGLU {kernel [C, 2I], bias [2I]} -> geglu_h / geglu_gate
+    halves (first half h, second gate — diffusers GEGLU.forward chunk
+    order)."""
+    k = lin["kernel"]
+    i = k.shape[1] // 2
+    h = {"kernel": k[:, :i]}
+    g = {"kernel": k[:, i:]}
+    if "bias" in lin:
+        h["bias"], g["bias"] = lin["bias"][:i], lin["bias"][i:]
+    return {"geglu_h": h, "geglu_gate": g}
+
+
+def _geglu_fuse(h, g):
+    """Inverse of _geglu_split (flax -> diffusers export)."""
+    out = {"kernel": np.concatenate(
+        [np.asarray(h["kernel"]), np.asarray(g["kernel"])], axis=1)}
+    if "bias" in h:
+        out["bias"] = np.concatenate(
+            [np.asarray(h["bias"]), np.asarray(g["bias"])])
+    return out
+
+
 def _conv(sd, name):
     out = {"kernel": sd[f"{name}.weight"].transpose(2, 3, 1, 0)}
     if f"{name}.bias" in sd:
@@ -298,7 +321,10 @@ def _transformer2d(sd, pre, depth):
                 "to_out": _lin(sd, f"{b}.attn2.to_out.0"),
             },
             "ff": {
-                "geglu_proj": _lin(sd, f"{b}.ff.net.0.proj"),
+                # diffusers' fused GEGLU proj chunks its output into
+                # [h | gate] (GEGLU.forward); the flax FeedForward holds
+                # the halves as two column-shardable matmuls
+                **_geglu_split(_lin(sd, f"{b}.ff.net.0.proj")),
                 "proj_out": _lin(sd, f"{b}.ff.net.2"),
             },
         }
@@ -397,7 +423,8 @@ def flax_to_diffusers_unet(params: dict, config) -> Dict[str, Array]:
                 for w in ("to_q", "to_k", "to_v"):
                     put_lin(f"{b}.{attn}.{w}", nb[attn][w])
                 put_lin(f"{b}.{attn}.to_out.0", nb[attn]["to_out"])
-            put_lin(f"{b}.ff.net.0.proj", nb["ff"]["geglu_proj"])
+            put_lin(f"{b}.ff.net.0.proj",
+                    _geglu_fuse(nb["ff"]["geglu_h"], nb["ff"]["geglu_gate"]))
             put_lin(f"{b}.ff.net.2", nb["ff"]["proj_out"])
 
     put_conv("conv_in", p["conv_in"])

@@ -139,6 +139,9 @@ def main(argv=None):
                          "path (quant/int8.py) — calibrates on the prompt's "
                          "conditioning at a spread of timesteps, then "
                          "serves the quantized tree")
+    ap.add_argument("--calib-ranges", metavar="PATH",
+                    help="JSON file of calibration ranges: loaded if it "
+                         "exists (skips calibration), written otherwise")
     args = ap.parse_args(argv)
 
     if not args.no_compile_cache:
@@ -163,7 +166,8 @@ def main(argv=None):
         print("calibrating int8 conv ranges...", file=sys.stderr)
         models, params = quantize_for_serving(
             models, params, tokenize([args.prompt]),
-            tokenize([args.negative_prompt]), size)
+            tokenize([args.negative_prompt]), size,
+            ranges_path=args.calib_ranges)
 
     pipe = StableDiffusionXLPEAPipeline(models, params, args.sampler,
                                         aot_dir=args.aot_cache)

@@ -136,6 +136,8 @@ def main(argv=None):
                          "on --calib-prompt")
     ap.add_argument("--calib-prompt", default="一只戴着帽子的可爱猫咪",
                     help="calibration prompt for --quant int8")
+    ap.add_argument("--calib-ranges", metavar="PATH",
+                    help="JSON calibration-ranges cache for --quant int8")
     ap.add_argument("--batch-window-ms", type=int, default=150,
                     help="how long the batcher waits to fill a batch")
     args = ap.parse_args(argv)
@@ -162,7 +164,7 @@ def main(argv=None):
         from ..quant import quantize_for_serving
         models, params = quantize_for_serving(
             models, params, tokenize([args.calib_prompt]),
-            tokenize([""]), size)
+            tokenize([""]), size, ranges_path=args.calib_ranges)
 
     pipe = StableDiffusionXLPEAPipeline(models, params, args.sampler,
                                         aot_dir=args.aot_cache)

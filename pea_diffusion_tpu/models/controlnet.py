@@ -53,6 +53,7 @@ class ControlNet(nn.Module):
     config: ControlNetConfig
     dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
+    conv_quant: str = "none"   # "int8": QConvInt8 resnet convs (quant/int8.py)
 
     @nn.compact
     def __call__(
@@ -102,6 +103,7 @@ class ControlNet(nn.Module):
             depths = cfg.down_block_layers(i)
             for j in range(cfg.layers_per_block):
                 h = ResnetBlock2D(out_ch, cfg.norm_num_groups, dtype=self.dtype,
+                                  conv_quant=self.conv_quant,
                                   name=f"down_{i}_resnet_{j}")(h, temb)
                 if depths[j] > 0:
                     heads = cfg.num_attention_heads[i]
@@ -119,6 +121,7 @@ class ControlNet(nn.Module):
 
         mid_ch = cfg.block_out_channels[-1]
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
+                          conv_quant=self.conv_quant,
                           name="mid_resnet_0")(h, temb)
         if cfg.mid_transformer_layers > 0:
             heads = cfg.num_attention_heads[-1]
@@ -128,6 +131,7 @@ class ControlNet(nn.Module):
                 self.attn_backend, name="mid_attn",
             )(h, context)
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
+                          conv_quant=self.conv_quant,
                           name="mid_resnet_1")(h, temb)
         mid_out = zero_conv(h, "zero_conv_mid")
 

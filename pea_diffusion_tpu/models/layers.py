@@ -277,9 +277,16 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # diffusers stores one fused [C, 2I] proj whose output is chunked
+        # into [h | gate]; here the halves are two matmuls (the converter
+        # splits the fused weight, checkpoints/torch_convert.py). Same
+        # FLOPs/fusions single-chip, but the halves column-shard locally
+        # under tensor parallelism — a contiguous shard of the fused
+        # [h | gate] output would split at the halves' boundary and force
+        # a reshard at the gate (parallel/tp.py, DESIGN.md §3b).
         inner = self.dim * self.mult
-        h = nn.Dense(inner * 2, dtype=self.dtype, name="geglu_proj")(x)
-        h, gate = jnp.split(h, 2, axis=-1)
+        h = nn.Dense(inner, dtype=self.dtype, name="geglu_h")(x)
+        gate = nn.Dense(inner, dtype=self.dtype, name="geglu_gate")(x)
         h = h * nn.gelu(gate, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj_out")(h)
 

@@ -28,11 +28,12 @@ Layout (classic Megatron, mapped to our flax param tree):
   channel sharding of the activation it biases.
 - per-channel affine params (GroupNorm scale/bias, conv bias) shard over
   the same channel axis.
-- the GEGLU `geglu_proj` kernel stays REPLICATED: its output is the
-  concatenation [h | gate] and a contiguous `model`-shard would split at
-  the h/gate boundary instead of within both halves — GSPMD would stay
-  correct but insert a full reshard at the `jnp.split`. The FF `proj_out`
-  therefore also stays replicated. (Future: interleaved GEGLU layout.)
+- GEGLU feed-forward: the h/gate halves are stored as TWO matmuls
+  (models/layers.py FeedForward; the converter splits diffusers' fused
+  [h | gate] projection), so classic Megatron MLP sharding applies —
+  both halves column-sharded, the gating elementwise local, `ff.proj_out`
+  row-sharded with its psum merging into the attention psum cadence
+  (two reduces per transformer block).
 - everything tiny (time embeddings, `conv_in`, `conv_out`, norms that
   don't divide) replicates — the fallback is always `P()`.
 
@@ -96,7 +97,6 @@ def _spec_for(names: Tuple[str, ...], shape: Tuple[int, ...],
 
     module = names[-2] if len(names) >= 2 else ""
     leaf = names[-1]
-    in_ff = "ff" in names
 
     # attention projections
     if module in ("to_q", "to_k", "to_v"):
@@ -108,8 +108,15 @@ def _spec_for(names: Tuple[str, ...], shape: Tuple[int, ...],
         if leaf == "kernel" and ok(0):
             return P(MODEL_AXIS, None)
         return P()  # bias added once, post-psum
-    # GEGLU feed-forward: replicated (split-at-half vs contiguous shards)
-    if in_ff:
+    # GEGLU feed-forward: the h/gate halves are separate matmuls
+    # (models/layers.py FeedForward), so classic Megatron MLP sharding
+    # applies — column-shard both halves (the gating elementwise is then
+    # local), row-shard ff proj_out below via the proj_out rule
+    if module in ("geglu_h", "geglu_gate"):
+        if leaf == "kernel" and ok(1):
+            return P(None, MODEL_AXIS)
+        if leaf == "bias" and ok(0):
+            return P(MODEL_AXIS)
         return P()
     # transformer proj_in/proj_out (token-space C->C matmuls): column/row
     if module == "proj_in" and leaf == "kernel" and ok(len(shape) - 1):

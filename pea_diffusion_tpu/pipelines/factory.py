@@ -136,7 +136,12 @@ def init_params_host(models: PEAModels, family: str, text_cfg,
         state = {"off": 0}
 
         def leaf(path, s):
-            dt = np.dtype(dtype if dtype is not None else s.dtype)
+            # the storage-dtype override only applies to float leaves —
+            # integer leaves (e.g. QConvInt8's int8 kernel_q) keep their
+            # structural dtype
+            want = np.dtype(s.dtype)
+            dt = (np.dtype(dtype)
+                  if dtype is not None and want.kind == "f" else want)
             name = str(path[-1].key) if hasattr(path[-1], "key") else ""
             if name in ("scale",) or name.endswith("scale"):
                 return np.ones(s.shape, dt)

@@ -2,8 +2,10 @@ from .int8 import (  # noqa: F401
     QConvInt8,
     calibrate_conv_ranges,
     calibrate_sdxl,
+    load_ranges,
     merge_ranges,
     quantize_for_serving,
     quantize_unet_params,
+    save_ranges,
     quantize_weight,
 )

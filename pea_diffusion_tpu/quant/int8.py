@@ -171,16 +171,41 @@ def calibrate_sdxl(models, params, ids, uncond_ids, size: int,
     return calibrate_conv_ranges(models.unet, params["unet"], batches)
 
 
-def quantize_for_serving(models, params, ids, uncond_ids, size: int):
+def save_ranges(path: str, ranges: Dict[str, float]) -> None:
+    """Persist calibration ranges (tiny JSON) so serving restarts skip the
+    calibration forward passes."""
+    import json
+    import os
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(ranges, f, indent=0, sort_keys=True)
+
+
+def load_ranges(path: str) -> Dict[str, float]:
+    import json
+    with open(path) as f:
+        return {k: float(v) for k, v in json.load(f).items()}
+
+
+def quantize_for_serving(models, params, ids, uncond_ids, size: int,
+                         ranges_path: Optional[str] = None):
     """Calibrate + quantize one PEAModels bundle for int8 serving.
 
     Returns (models', params') — the same bundle with the UNet rebuilt
     `conv_quant="int8"` and its param tree transformed in one jitted
     on-device pass (a host-side walk of the 2.6GB tree costs minutes on a
-    1-core host)."""
+    1-core host). `ranges_path`: if the file exists, calibration is
+    skipped and the saved ranges are used; otherwise the fresh ranges are
+    saved there."""
     import dataclasses
+    import os
 
-    ranges = calibrate_sdxl(models, params, ids, uncond_ids, size)
+    if ranges_path and os.path.exists(ranges_path):
+        ranges = load_ranges(ranges_path)
+    else:
+        ranges = calibrate_sdxl(models, params, ids, uncond_ids, size)
+        if ranges_path:
+            save_ranges(ranges_path, ranges)
     params = dict(params)
     params["unet"] = jax.jit(
         lambda p: quantize_unet_params(p, ranges))(params["unet"])

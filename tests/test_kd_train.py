@@ -154,3 +154,37 @@ def test_sharded_step_dp_fsdp(setup):
             state_sh, frozen_sh, batch_sh, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
+
+
+@pytest.mark.slow
+def test_sharded_step_hybrid_dcn_mesh(setup):
+    """Multi-slice recipe: (dcn=2, data=2, fsdp=2) — batch shards over
+    (dcn, data), frozen weights fsdp-shard INSIDE a slice, adapter/opt
+    replicated so the only cross-slice collective is the adapter grad
+    psum (parallel/mesh.py::make_hybrid_mesh; DESIGN.md §3)."""
+    models, frozen, adapter_params = setup
+    assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"
+    mesh = pmesh.make_hybrid_mesh(num_slices=2, ici_shape=(2, 2))
+    assert dict(mesh.shape) == {"dcn": 2, "data": 2, "fsdp": 2}
+    cfg = TrainConfig(total_steps=100, warmup_steps=0)
+    init_fn, step_fn = make_train_step(models, cfg)
+    state, _ = init_fn(adapter_params)
+
+    # low min_size so the tiny config's conv kernels actually partition
+    frozen_specs = pmesh.fsdp_sharding(frozen, mesh, min_size=4096)
+    frozen_sh = jax.tree.map(jax.device_put, frozen, frozen_specs)
+    # fsdp really partitions inside each slice: the mid conv's local shard
+    # must be half-size, and batch shards 4-way over (dcn, data)
+    big = frozen_sh["unet"]["params"]["mid_resnet_0"]["conv1"]["kernel"]
+    assert big.addressable_shards[0].data.size * 2 == big.size, big.shape
+    batch_sh = pmesh.shard_batch(_batch(5), mesh)
+    px = batch_sh["pixel_values"]
+    assert px.addressable_shards[0].data.shape[0] * 4 == px.shape[0]
+    state_sh = jax.tree.map(
+        lambda x: jax.device_put(x, pmesh.replicated(mesh)), state)
+
+    with jax.set_mesh(mesh):
+        state2, metrics = jax.jit(step_fn)(
+            state_sh, frozen_sh, batch_sh, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1

@@ -148,3 +148,46 @@ def test_uncalibrated_fallback_runs():
     qparams = quantize_unet_params(params, None, default_amax=4.0)
     out = qunet.apply(qparams, *args)
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_ranges_roundtrip(tmp_path):
+    from pea_diffusion_tpu.quant import load_ranges, save_ranges
+
+    r = {"down_0_resnet_0/conv1": 3.25, "mid_resnet_0/conv2": 0.5}
+    p = str(tmp_path / "ranges.json")
+    save_ranges(p, r)
+    assert load_ranges(p) == r
+
+
+def test_quantize_for_serving_uses_saved_ranges(tmp_path, monkeypatch):
+    """With an existing ranges file, quantize_for_serving must not
+    calibrate (the saved ranges drive the scales)."""
+    import pea_diffusion_tpu.quant.int8 as q8
+    from pea_diffusion_tpu.configs.adapter import AdapterConfig
+    from pea_diffusion_tpu.configs.text_encoder import BERT_TINY
+    from pea_diffusion_tpu.configs.unet import VAE_TINY
+    from pea_diffusion_tpu.pipelines.factory import build_models
+    from pea_diffusion_tpu.quant import save_ranges
+
+    unet, _, params, args = _setup()
+    ranges = q8.calibrate_conv_ranges(unet, params, [args])
+    p = str(tmp_path / "r.json")
+    save_ranges(p, ranges)
+
+    def boom(*a, **k):
+        raise AssertionError("calibrate_sdxl must not run")
+
+    monkeypatch.setattr(q8, "calibrate_sdxl", boom)
+    ucfg = SDXL_UNET_TINY
+    pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                  - 6 * ucfg.addition_time_embed_dim)
+    models = build_models(
+        family="chinese_clip", text_cfg=BERT_TINY,
+        adapter_cfg=AdapterConfig(BERT_TINY.hidden_size, (96, pooled_dim),
+                                  head_dim=ucfg.cross_attention_dim),
+        unet_cfg=ucfg, vae_cfg=VAE_TINY, dtype=jnp.float32)
+    qmodels, qparams = q8.quantize_for_serving(
+        models, {"unet": params}, None, None, 128, ranges_path=p)
+    assert qmodels.unet.conv_quant == "int8"
+    assert qparams["unet"]["params"]["mid_resnet_0"]["conv1"][
+        "kernel_q"].dtype == jnp.int8

@@ -50,11 +50,18 @@ def test_spec_rules():
         P("model", None)
     assert tp._spec_for(("params", "down_1_attn_0", "blocks_0", "attn1",
                          "to_out", "bias"), (64,), tp_size) == P()
-    # GEGLU stays replicated (h|gate split boundary)
+    # GEGLU halves are separate matmuls -> Megatron MLP sharding
     assert tp._spec_for(("params", "up_0_attn_1", "blocks_0", "ff",
-                         "geglu_proj", "kernel"), (64, 512), tp_size) == P()
+                         "geglu_h", "kernel"), (64, 256), tp_size) == \
+        P(None, "model")
     assert tp._spec_for(("params", "up_0_attn_1", "blocks_0", "ff",
-                         "proj_out", "kernel"), (256, 64), tp_size) == P()
+                         "geglu_gate", "bias"), (256,), tp_size) == \
+        P("model")
+    assert tp._spec_for(("params", "up_0_attn_1", "blocks_0", "ff",
+                         "proj_out", "kernel"), (256, 64), tp_size) == \
+        P("model", None)
+    assert tp._spec_for(("params", "up_0_attn_1", "blocks_0", "ff",
+                         "proj_out", "bias"), (64,), tp_size) == P()
     # convs: cout sharded; the output head never shards
     assert tp._spec_for(("params", "down_0_resnet_0", "conv1", "kernel"),
                         (3, 3, 32, 64), tp_size) == \
