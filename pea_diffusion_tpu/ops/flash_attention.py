@@ -97,8 +97,8 @@ def _pad_qkv(q, k, v, block_q, block_k, pad_d=True):
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "interpret", "with_lse",
                                              "pad_d"))
-def _flash_forward(q, k, v, scale=None, block_q=256, block_k=1024,
-                   interpret=False, with_lse=False, pad_d=True):
+def _flash_forward_impl(q, k, v, scale=None, block_q=256, block_k=1024,
+                        interpret=False, with_lse=False, pad_d=True):
     """[BH,Sq,D] x [BH,Skv,D] -> out [BH,Sq,D] (+ lse [BH,Sq] if with_lse)."""
     bh, sq, d = q.shape
     skv = k.shape[1]
@@ -232,8 +232,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "interpret", "pad_d"))
-def _flash_backward(q, k, v, out, lse, g, scale, block_q=256, block_k=1024,
-                    interpret=False, pad_d=True):
+def _flash_backward_impl(q, k, v, out, lse, g, scale, block_q=256,
+                         block_k=1024, interpret=False, pad_d=True):
     bh, sq, d = q.shape
     skv = k.shape[1]
     # delta_i = sum_d dO_i * O_i  (cheap rowwise; XLA fuses)
@@ -294,6 +294,116 @@ def _flash_backward(q, k, v, out, lse, g, scale, block_q=256, block_k=1024,
     )(q, k, v, g, lse, delta)
 
     return dq[:, :sq, :d], dk[:, :skv, :d], dv[:, :skv, :d]
+
+
+# --- SPMD partitioning (multi-chip dp training) ----------------------------
+#
+# pallas_call is a custom call the SPMD partitioner treats as opaque: under
+# a sharded jit (the dp/fsdp KD train step, parallel/mesh.py) it would
+# all-gather q/k/v onto every device and run the full kernel replicated.
+# The leading [B*H] axis is embarrassingly parallel — and it is the axis
+# dp training actually shards (B over `data`) — so we register
+# custom_partitioning over it; Sq/Skv/D are marked need-replication.
+# Mirrors ops/onepass_attention.py (the inference kernel, which also
+# shards head groups); dispatch keys on the ambient mesh so single-device
+# use is untouched.
+
+
+def _batch_plan(mesh, sharding, bh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = tuple(sharding.spec) if sharding.spec is not None else ()
+    b_ax = (spec + (None,) * 3)[0]
+    if b_ax is not None:
+        names = (b_ax,) if isinstance(b_ax, str) else tuple(b_ax)
+        n = 1
+        for nm in names:
+            n *= mesh.shape[nm]
+        if bh % n != 0:
+            b_ax = None
+    return (NamedSharding(mesh, P(b_ax, None, None)),
+            NamedSharding(mesh, P(b_ax, None)))
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_forward(scale, block_q, block_k, interpret, with_lse,
+                         pad_d):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def _run(q, k, v):
+        return _flash_forward_impl(q, k, v, scale, block_q, block_k,
+                                   interpret, with_lse, pad_d)
+
+    fwd = custom_partitioning(_run)
+
+    def partition(mesh, arg_shapes, result_shape):
+        xsh, lsh = _batch_plan(mesh, arg_shapes[0].sharding,
+                               arg_shapes[0].shape[0])
+        outs = (xsh, lsh) if with_lse else xsh
+        return mesh, _run, outs, (xsh, xsh, xsh)
+
+    def infer(mesh, arg_shapes, shape):
+        xsh, lsh = _batch_plan(mesh, arg_shapes[0].sharding,
+                               arg_shapes[0].shape[0])
+        return (xsh, lsh) if with_lse else xsh
+
+    fwd.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=("b q d, b k d, b k d -> b q d, b q" if with_lse
+                       else "b q d, b k d, b k d -> b q d"),
+        need_replication_factors=("q", "d", "k"),
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_backward(scale, block_q, block_k, interpret, pad_d):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def _run(q, k, v, out, lse, g):
+        return _flash_backward_impl(q, k, v, out, lse, g, scale, block_q,
+                                    block_k, interpret, pad_d)
+
+    bwd = custom_partitioning(_run)
+
+    def partition(mesh, arg_shapes, result_shape):
+        xsh, lsh = _batch_plan(mesh, arg_shapes[0].sharding,
+                               arg_shapes[0].shape[0])
+        return (mesh, _run, (xsh, xsh, xsh),
+                (xsh, xsh, xsh, xsh, lsh, xsh))
+
+    def infer(mesh, arg_shapes, shape):
+        xsh, _ = _batch_plan(mesh, arg_shapes[0].sharding,
+                             arg_shapes[0].shape[0])
+        return (xsh, xsh, xsh)
+
+    bwd.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=("b q d, b k d, b k d, b q d, b q, b q d "
+                       "-> b q d, b k d, b k d"),
+        need_replication_factors=("q", "d", "k"),
+    )
+    return bwd
+
+
+def _flash_forward(q, k, v, scale=None, block_q=256, block_k=1024,
+                   interpret=False, with_lse=False, pad_d=True):
+    if not jax.sharding.get_abstract_mesh().empty:
+        return _partitioned_forward(scale, block_q, block_k, interpret,
+                                    with_lse, pad_d)(q, k, v)
+    return _flash_forward_impl(q, k, v, scale, block_q, block_k, interpret,
+                               with_lse, pad_d)
+
+
+def _flash_backward(q, k, v, out, lse, g, scale, block_q=256, block_k=1024,
+                    interpret=False, pad_d=True):
+    if not jax.sharding.get_abstract_mesh().empty:
+        return _partitioned_backward(scale, block_q, block_k, interpret,
+                                     pad_d)(q, k, v, out, lse, g)
+    return _flash_backward_impl(q, k, v, out, lse, g, scale, block_q,
+                                block_k, interpret, pad_d)
 
 
 # --- public API with custom VJP -------------------------------------------------
