@@ -142,6 +142,11 @@ def main(argv=None):
     ap.add_argument("--calib-ranges", metavar="PATH",
                     help="JSON file of calibration ranges: loaded if it "
                          "exists (skips calibration), written otherwise")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree: shard the UNet "
+                         "Megatron-style over a (1, N) device mesh for "
+                         "single-image latency (parallel/tp.py; needs N "
+                         "devices)")
     args = ap.parse_args(argv)
 
     if not args.no_compile_cache:
@@ -169,8 +174,14 @@ def main(argv=None):
             tokenize([args.negative_prompt]), size,
             ranges_path=args.calib_ranges)
 
+    mesh = None
+    if args.tp > 1:
+        from ..parallel import tp as ptp
+        mesh = ptp.make_tp_mesh((1, args.tp))
+        params = ptp.shard_bundle_for_tp(params, mesh)
+
     pipe = StableDiffusionXLPEAPipeline(models, params, args.sampler,
-                                        aot_dir=args.aot_cache)
+                                        aot_dir=args.aot_cache, mesh=mesh)
 
     def run(prompt, negative, out_path, seed):
         ids = tokenize([prompt])

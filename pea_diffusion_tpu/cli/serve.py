@@ -138,6 +138,9 @@ def main(argv=None):
                     help="calibration prompt for --quant int8")
     ap.add_argument("--calib-ranges", metavar="PATH",
                     help="JSON calibration-ranges cache for --quant int8")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree over a (1, N) device mesh "
+                         "(single-image latency mode; parallel/tp.py)")
     ap.add_argument("--batch-window-ms", type=int, default=150,
                     help="how long the batcher waits to fill a batch")
     args = ap.parse_args(argv)
@@ -166,8 +169,14 @@ def main(argv=None):
             models, params, tokenize([args.calib_prompt]),
             tokenize([""]), size, ranges_path=args.calib_ranges)
 
+    mesh = None
+    if args.tp > 1:
+        from ..parallel import tp as ptp
+        mesh = ptp.make_tp_mesh((1, args.tp))
+        params = ptp.shard_bundle_for_tp(params, mesh)
+
     pipe = StableDiffusionXLPEAPipeline(models, params, args.sampler,
-                                        aot_dir=args.aot_cache)
+                                        aot_dir=args.aot_cache, mesh=mesh)
     # generate_sdxl draws latents at size//8 for every VAE config
     engine = BatchingEngine(pipe, tokenize, size,
                             max_batch=max(1, args.max_batch),

@@ -136,8 +136,9 @@ def _spec_for(names: Tuple[str, ...], shape: Tuple[int, ...],
     # conv_norm_out feeds it, so leave the final norm replicated too
     if "conv_out" in names or "conv_norm_out" in names:
         return P()
-    # convs: shard output channels
-    if leaf == "kernel" and len(shape) == 4 and ok(3):
+    # convs: shard output channels (kernel_q = the int8 PTQ layout,
+    # quant/int8.py — same [kh,kw,cin,cout] geometry)
+    if leaf in ("kernel", "kernel_q") and len(shape) == 4 and ok(3):
         return P(None, None, None, MODEL_AXIS)
     # time_emb_proj [time_dim, cout] matches conv channel sharding
     if module == "time_emb_proj":
@@ -150,7 +151,8 @@ def _spec_for(names: Tuple[str, ...], shape: Tuple[int, ...],
     # replicate those (module name norm1/2/3 inside blocks_*)
     is_ln = module.startswith("norm") and any(
         n.startswith("blocks_") for n in names)
-    if leaf in ("bias", "scale") and len(shape) == 1 and ok(0) and not is_ln:
+    if (leaf in ("bias", "scale", "w_scale") and len(shape) == 1 and ok(0)
+            and not is_ln):
         return P(MODEL_AXIS)
     return P()
 
@@ -174,6 +176,19 @@ def tp_unet_sharding(unet_params, mesh: Mesh):
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def shard_bundle_for_tp(params, mesh: Mesh):
+    """Place a full PEAModels param dict for tensor-parallel serving:
+    UNet Megatron-sharded, text/adapter/VAE replicated (tiny or
+    memory-cheap next to the UNet). Returns the new params dict."""
+    out = {}
+    for key, tree in params.items():
+        if key == "unet":
+            out[key] = jax.device_put(tree, tp_unet_sharding(tree, mesh))
+        else:
+            out[key] = jax.device_put(tree, replicated(mesh))
+    return out
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -377,10 +377,17 @@ class StableDiffusionXLPEAPipeline:
     Python trace entirely (cold-start attack, BASELINE.md round 3)."""
 
     def __init__(self, models: PEAModels, params: Params,
-                 sampler_name: str = "dpm++", aot_dir: Optional[str] = None):
+                 sampler_name: str = "dpm++", aot_dir: Optional[str] = None,
+                 mesh=None):
+        """mesh: a tensor-parallel Mesh (parallel/tp.py) — params must
+        already be placed (shard_bundle_for_tp); generation then runs
+        under the ambient mesh (the Pallas attention partitions over head
+        groups, DESIGN.md §3b). AOT serialization is skipped under a mesh
+        (exported programs pin single-device layouts)."""
         self.models, self.params, self.sampler_name = models, params, sampler_name
+        self.mesh = mesh
         self._aot = None
-        if aot_dir is not None:
+        if aot_dir is not None and mesh is None:
             from ..utils.startup import AOTCache
             self._aot = AOTCache(aot_dir)
 
@@ -447,11 +454,15 @@ class StableDiffusionXLPEAPipeline:
                                       init_noise)
             if imgs is not None:
                 return to_pil(imgs)
-        imgs = generate_sdxl(
-            self.models, self.params, ids, uncond_ids, rng,
-            sampler_name=self.sampler_name,
-            height=height, width=width, num_steps=num_steps,
-            guidance_scale=float(guidance_scale),
-            guidance_rescale=float(guidance_rescale),
-            init_noise=init_noise)
+        import contextlib
+        ctx = jax.set_mesh(self.mesh) if self.mesh is not None \
+            else contextlib.nullcontext()
+        with ctx:
+            imgs = generate_sdxl(
+                self.models, self.params, ids, uncond_ids, rng,
+                sampler_name=self.sampler_name,
+                height=height, width=width, num_steps=num_steps,
+                guidance_scale=float(guidance_scale),
+                guidance_rescale=float(guidance_rescale),
+                init_noise=init_noise)
         return to_pil(imgs)

@@ -169,3 +169,52 @@ def test_generate_sdxl_under_tp_mesh():
     assert out.shape == ref.shape and out.shape[0] == B
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_tp_spec_covers_quant_leaves():
+    """int8 PTQ layout shards like the float layout: kernel_q on cout,
+    w_scale on the channel axis, x_scale scalar replicated."""
+    assert tp._spec_for(("params", "down_0_resnet_0", "conv1", "kernel_q"),
+                        (3, 3, 32, 64), 2) == P(None, None, None, "model")
+    assert tp._spec_for(("params", "down_0_resnet_0", "conv1", "w_scale"),
+                        (64,), 2) == P("model")
+    assert tp._spec_for(("params", "down_0_resnet_0", "conv1", "x_scale"),
+                        (), 2) == P()
+
+
+@pytest.mark.slow
+def test_pipeline_class_tp_serving():
+    """The CLI serving path: shard_bundle_for_tp + Pipeline(mesh=...) on a
+    (1, 4) mesh reproduces the single-device images (the --tp N flag)."""
+    from pea_diffusion_tpu.configs.adapter import AdapterConfig
+    from pea_diffusion_tpu.pipelines.factory import (
+        build_models, init_params_host)
+    from pea_diffusion_tpu.pipelines.text2image import (
+        StableDiffusionXLPEAPipeline)
+
+    ucfg = SDXL_UNET_TINY
+    pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                  - 6 * ucfg.addition_time_embed_dim)
+    acfg = AdapterConfig(BERT_TINY.hidden_size, (96, pooled_dim),
+                         head_dim=ucfg.cross_attention_dim)
+    models = build_models(
+        family="chinese_clip", text_cfg=BERT_TINY, adapter_cfg=acfg,
+        unet_cfg=ucfg, vae_cfg=VAE_TINY, dtype=jnp.float32,
+        vae_dtype=jnp.float32, attn_backend="xla")
+    params = init_params_host(models, "chinese_clip", BERT_TINY, seq_len=12)
+    ids = np.asarray(jax.random.randint(jax.random.PRNGKey(1), (1, 12), 4,
+                                        BERT_TINY.vocab_size))
+    uncond = np.full((1, 12), 4, np.int32)
+
+    pipe_ref = StableDiffusionXLPEAPipeline(models, params, "ddim")
+    ref = pipe_ref(ids, uncond, height=128, width=128, num_steps=4,
+                   guidance_scale=7.5, seed=3)[0]
+
+    mesh = tp.make_tp_mesh((1, 4), devices=jax.devices()[:4])
+    params_sh = tp.shard_bundle_for_tp(params, mesh)
+    pipe_tp = StableDiffusionXLPEAPipeline(models, params_sh, "ddim",
+                                           mesh=mesh)
+    out = pipe_tp(ids, uncond, height=128, width=128, num_steps=4,
+                  guidance_scale=7.5, seed=3)[0]
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32), atol=1.0)
