@@ -191,3 +191,27 @@ def test_quantize_for_serving_uses_saved_ranges(tmp_path, monkeypatch):
     assert qmodels.unet.conv_quant == "int8"
     assert qparams["unet"]["params"]["mid_resnet_0"]["conv1"][
         "kernel_q"].dtype == jnp.int8
+
+
+def test_quant_sd15_unet():
+    """QConv is config-generic: the SD1.5-shaped UNet (no added_cond)
+    quantizes and stays close to float (the --quant int8 path for the
+    SD1.5 pipeline, generate_sd)."""
+    from pea_diffusion_tpu.configs.unet import SD15_UNET_TINY
+
+    ucfg = SD15_UNET_TINY
+    unet = UNet2DCondition(ucfg, attn_backend="xla")
+    qunet = UNet2DCondition(ucfg, attn_backend="xla", conv_quant="int8")
+    k = jax.random.split(jax.random.PRNGKey(5), 3)
+    lat = jax.random.normal(k[0], (2, 16, 16, 4))
+    ctx = jax.random.normal(k[1], (2, 12, ucfg.cross_attention_dim))
+    t = jnp.array([500, 10])
+    params = unet.init(k[2], lat, t, ctx)
+    ref = jax.jit(unet.apply)(params, lat, t, ctx)
+
+    ranges = calibrate_conv_ranges(unet, params, [(lat, t, ctx)])
+    qparams = quantize_unet_params(params, ranges)
+    out = jax.jit(qunet.apply)(qparams, lat, t, ctx)
+    rel = (np.linalg.norm(np.asarray(ref - out, np.float64))
+           / (np.linalg.norm(np.asarray(ref, np.float64)) + 1e-9))
+    assert rel < 0.05, rel
