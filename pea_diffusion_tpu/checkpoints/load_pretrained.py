@@ -76,6 +76,35 @@ def load_vae(model_dir: str):
     return cfg, tc.convert_vae(load_state_dict(d), cfg)
 
 
+def load_schedule(model_dir: str):
+    """model_dir/scheduler/scheduler_config.json -> NoiseScheduleConfig.
+
+    Checkpoints carry their own schedule conventions (SDXL-Turbo ships
+    trailing spacing; some fine-tunes ship v_prediction or zero-SNR
+    betas); returns the repo default (SDXL_SCHEDULE) when the checkpoint
+    has no scheduler dir."""
+    from ..schedulers import SDXL_SCHEDULE
+    from ..schedulers.common import NoiseScheduleConfig
+
+    path = os.path.join(model_dir, "scheduler", "scheduler_config.json")
+    if not os.path.exists(path):
+        return SDXL_SCHEDULE
+    with open(path) as f:
+        c = json.load(f)
+    return NoiseScheduleConfig(
+        num_train_timesteps=c.get("num_train_timesteps", 1000),
+        beta_start=c.get("beta_start", 0.00085),
+        beta_end=c.get("beta_end", 0.012),
+        beta_schedule=c.get("beta_schedule", "scaled_linear"),
+        prediction_type=c.get("prediction_type", "epsilon"),
+        timestep_spacing=c.get("timestep_spacing", "leading"),
+        steps_offset=c.get("steps_offset", 1),
+        clip_sample=c.get("clip_sample", False),
+        set_alpha_to_one=c.get("set_alpha_to_one", False),
+        rescale_betas_zero_snr=c.get("rescale_betas_zero_snr", False),
+    )
+
+
 def load_controlnet(directory: str, dtype=None):
     """diffusers ControlNetModel dir -> (ControlNetConfig, flax params)
     (ControlNetModel.from_pretrained analog,

@@ -52,11 +52,10 @@ def build_real(args):
 
     from ..configs.adapter import ADAPTER_PRESETS
     from ..checkpoints.load_pretrained import (
-        load_student_tower, load_unet, load_vae)
+        load_schedule, load_student_tower, load_unet, load_vae)
     from ..checkpoints.orbax_io import import_adapter
     from ..models.adapter import PEAAdapter
     from ..pipelines.factory import build_models
-    from ..schedulers import SDXL_SCHEDULE
 
     unet_cfg, unet_params = load_unet(
         args.model_dir, lora_paths=args.lora or (),
@@ -67,7 +66,8 @@ def build_real(args):
     adapter_cfg = ADAPTER_PRESETS[args.adapter_preset]
     models = build_models(family=args.family, text_cfg=text_cfg,
                           adapter_cfg=adapter_cfg, unet_cfg=unet_cfg,
-                          vae_cfg=vae_cfg, schedule=SDXL_SCHEDULE,
+                          vae_cfg=vae_cfg,
+                          schedule=load_schedule(args.model_dir),
                           dtype=jnp.bfloat16)
     params = {
         "text": text_params,
@@ -120,7 +120,9 @@ def main(argv=None):
     ap.add_argument("--guidance", type=float, default=7.5)
     ap.add_argument("--guidance-rescale", type=float, default=0.0)
     ap.add_argument("--sampler", default="dpm++",
-                    choices=["dpm++", "ddim", "euler", "lcm"])
+                    choices=["dpm++", "ddim", "euler", "euler_a", "lcm"],
+                    help="euler_a + --steps 4 --guidance 0 = the SDXL-"
+                         "Turbo operating point")
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--max-length", type=int, default=52)
     ap.add_argument("--seed", type=int, default=0)

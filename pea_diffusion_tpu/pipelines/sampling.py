@@ -55,6 +55,17 @@ def make_sampler(name: str, cfg: NoiseScheduleConfig, num_steps: int, **kw) -> S
             scale=lambda i, x: euler.scale_model_input(sched, i, x),
             step=lambda i, x, out, st, rng=None: (euler.step(sched, i, x, out), st),
         )
+    if name in ("euler_a", "euler_ancestral"):
+        # SDXL-Turbo's scheduler (trailing spacing + guidance 0 at the
+        # pipeline level; reference README.md:60)
+        sched = euler.make_schedule(cfg, num_steps)
+        return Sampler(
+            name, num_steps, sched.timesteps, sched.init_noise_sigma,
+            init=lambda shape, dtype=jnp.float32: (),
+            scale=lambda i, x: euler.scale_model_input(sched, i, x),
+            step=lambda i, x, out, st, rng=None: (
+                euler.step_ancestral(sched, i, x, out, rng), st),
+        )
     if name == "lcm":
         sched = lcm.make_schedule(cfg, num_steps, **kw)
         return Sampler(

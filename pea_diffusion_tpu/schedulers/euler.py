@@ -1,8 +1,14 @@
-"""Euler discrete sampler (SDXL's shipped default scheduler family)."""
+"""Euler discrete sampler (SDXL's shipped default scheduler family).
+
+Also the ancestral variant (`step_ancestral`) — EulerAncestralDiscrete is
+SDXL-Turbo's shipped scheduler (reference README.md:60 lists SDXL-Turbo as
+a supported downstream; turbo checkpoints pair trailing-spacing timesteps,
+guidance 0 and this sampler)."""
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,4 +58,39 @@ def step(sched: EulerSchedule, i, sample, model_output):
         raise ValueError(sched.prediction_type)
     d = (x - x0) / sigma
     out = x + d * (sched.sigmas[i + 1] - sigma)
+    return out.astype(sample.dtype)
+
+
+def ancestral_sigmas(sched: EulerSchedule, i):
+    """diffusers EulerAncestralDiscreteScheduler.step's (sigma_down,
+    sigma_up) split of the sigma_from -> sigma_to move: the deterministic
+    Euler step goes to sigma_down, fresh noise restores the marginal to
+    sigma_to. sigma_to = 0 at the final step makes both terms 0."""
+    s_from = sched.sigmas[i]
+    s_to = sched.sigmas[i + 1]
+    up2 = s_to**2 * (s_from**2 - s_to**2) / jnp.maximum(s_from**2, 1e-20)
+    sigma_up = jnp.sqrt(jnp.maximum(up2, 0.0))
+    sigma_down = jnp.sqrt(jnp.maximum(s_to**2 - up2, 0.0))
+    return sigma_down, sigma_up
+
+
+def step_ancestral(sched: EulerSchedule, i, sample, model_output,
+                   rng: Optional[jax.Array] = None):
+    """Euler-ancestral step. `rng=None` returns the deterministic part
+    only (scheduler goldens inject the noise term explicitly, same
+    convention as lcm.step)."""
+    sigma = sched.sigmas[i]
+    x = sample.astype(jnp.float32)
+    eps = model_output.astype(jnp.float32)
+    if sched.prediction_type == "epsilon":
+        x0 = x - sigma * eps
+    elif sched.prediction_type == "v_prediction":
+        x0 = x / (sigma**2 + 1) - eps * sigma / jnp.sqrt(sigma**2 + 1)
+    else:
+        raise ValueError(sched.prediction_type)
+    sigma_down, sigma_up = ancestral_sigmas(sched, i)
+    d = (x - x0) / sigma
+    out = x + d * (sigma_down - sigma)
+    if rng is not None:
+        out = out + sigma_up * jax.random.normal(rng, out.shape, jnp.float32)
     return out.astype(sample.dtype)

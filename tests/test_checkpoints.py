@@ -140,3 +140,30 @@ def test_orbax_train_state_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(restored.adapter_params),
                     jax.tree.leaves(state.adapter_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_schedule_translates_turbo_scheduler_config(tmp_path):
+    """SDXL-Turbo ships trailing spacing + no steps_offset in its
+    scheduler/scheduler_config.json; load_schedule must carry those into
+    NoiseScheduleConfig (and default to SDXL_SCHEDULE when absent)."""
+    import json
+    import os
+
+    from pea_diffusion_tpu.checkpoints.load_pretrained import load_schedule
+    from pea_diffusion_tpu.schedulers import SDXL_SCHEDULE
+
+    assert load_schedule(str(tmp_path)) == SDXL_SCHEDULE
+
+    os.makedirs(tmp_path / "scheduler")
+    with open(tmp_path / "scheduler" / "scheduler_config.json", "w") as f:
+        json.dump({"_class_name": "EulerAncestralDiscreteScheduler",
+                   "beta_start": 0.00085, "beta_end": 0.012,
+                   "beta_schedule": "scaled_linear",
+                   "num_train_timesteps": 1000,
+                   "prediction_type": "epsilon",
+                   "timestep_spacing": "trailing",
+                   "steps_offset": 1}, f)
+    cfg = load_schedule(str(tmp_path))
+    assert cfg.timestep_spacing == "trailing"
+    assert cfg.beta_schedule == "scaled_linear"
+    assert cfg != SDXL_SCHEDULE

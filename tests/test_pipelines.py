@@ -97,3 +97,16 @@ def test_sdxl_lcm_no_cfg(sdxl_setup):
                         guidance_scale=0.0)
     assert img.shape == (B, 16, 16, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_sdxl_turbo_euler_ancestral_no_cfg(sdxl_setup):
+    """SDXL-Turbo operating point: euler_a, 4 steps, guidance 0 (reference
+    README.md:60 lists SDXL-Turbo; turbo ships EulerAncestralDiscrete —
+    trailing spacing itself is golden-tested in test_scheduler_goldens)."""
+    models, params = sdxl_setup
+    ids, uncond = _ids(5)
+    img = generate_sdxl(models, params, ids, uncond, jax.random.PRNGKey(0),
+                        sampler_name="euler_a", height=64, width=64,
+                        num_steps=4, guidance_scale=0.0)
+    assert img.shape == (B, 16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()

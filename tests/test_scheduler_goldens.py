@@ -277,3 +277,85 @@ def test_lcm_trajectory_matches_diffusers_semantics():
                 noise_seq[i], np.float32)
         np.testing.assert_allclose(xr, golden[i], rtol=3e-4, atol=3e-4,
                                    err_msg=f"step {i}")
+
+
+# --- Euler-ancestral trajectory (SDXL-Turbo's scheduler) --------------------
+
+
+def _euler_a_diffusers_trajectory(x, eps_seq, noise_seq, num_steps,
+                                  spacing="trailing"):
+    """Independent float64 simulator of diffusers
+    EulerAncestralDiscreteScheduler.step (epsilon prediction): ancestral
+    split sigma_to^2 = sigma_down^2 + sigma_up^2 with
+    sigma_up^2 = sigma_to^2 (sigma_from^2 - sigma_to^2) / sigma_from^2."""
+    acp = _acp()
+    if spacing == "trailing":  # SDXL-Turbo: arange(T,0,-T/S).round()-1
+        ts = np.arange(1000, 0, -1000 / num_steps).round().astype(int) - 1
+    else:  # leading + steps_offset=1 (SD default)
+        ts = (np.arange(num_steps) * (1000 // num_steps))[::-1] + 1
+    sig = np.concatenate([np.sqrt((1 - acp[ts]) / acp[ts]), [0.0]])
+    traj, scaled_inputs = [], []
+    for i in range(num_steps):
+        scaled_inputs.append(x / np.sqrt(sig[i] ** 2 + 1))
+        x0 = x - sig[i] * eps_seq[i]
+        up2 = sig[i + 1] ** 2 * (sig[i] ** 2 - sig[i + 1] ** 2) / sig[i] ** 2
+        sigma_up = np.sqrt(up2)
+        sigma_down = np.sqrt(sig[i + 1] ** 2 - up2)
+        d = (x - x0) / sig[i]
+        x = x + d * (sigma_down - sig[i]) + noise_seq[i] * sigma_up
+        traj.append(x.copy())
+    return scaled_inputs, traj
+
+
+@pytest.mark.parametrize("spacing,num_steps", [("trailing", 4),
+                                               ("leading", 30)])
+def test_euler_ancestral_trajectory_matches_diffusers_semantics(
+        spacing, num_steps):
+    rng = np.random.default_rng(4)
+    shape = (1, 4, 8, 8)
+    x = rng.standard_normal(shape)
+    eps_seq = [rng.standard_normal(shape) for _ in range(num_steps)]
+    noise_seq = [rng.standard_normal(shape) for _ in range(num_steps)]
+    scaled_golden, golden = _euler_a_diffusers_trajectory(
+        x, eps_seq, noise_seq, num_steps, spacing)
+
+    cfg = NoiseScheduleConfig(timestep_spacing=spacing)
+    sched = euler.make_schedule(cfg, num_steps)
+    # diffusers init_noise_sigma: max sigma for trailing, sqrt(max^2+1)
+    # for leading
+    smax = float(np.asarray(sched.sigmas).max())
+    expect_init = smax if spacing == "trailing" else float(
+        np.sqrt(smax**2 + 1))
+    assert abs(sched.init_noise_sigma - expect_init) < 1e-5
+    xr = np.asarray(x, np.float32)
+    for i in range(num_steps):
+        si = np.asarray(euler.scale_model_input(sched, i, xr))
+        np.testing.assert_allclose(si, scaled_golden[i], rtol=2e-4,
+                                   atol=2e-4)
+        # rng=None -> deterministic part; inject the golden noise through
+        # the same ancestral_sigmas split the step uses
+        xr = np.asarray(euler.step_ancestral(
+            sched, i, xr, np.asarray(eps_seq[i], np.float32), rng=None))
+        _, sigma_up = euler.ancestral_sigmas(sched, i)
+        xr = xr + float(sigma_up) * np.asarray(noise_seq[i], np.float32)
+        np.testing.assert_allclose(xr, golden[i], rtol=3e-4, atol=3e-4,
+                                   err_msg=f"step {i}")
+    assert abs(float(np.asarray(sched.sigmas)[-1])) == 0.0
+
+
+def test_euler_ancestral_rng_path_noise_scale():
+    """The jitted rng path adds noise with std sigma_up (and none at the
+    final step where sigma_to=0)."""
+    import jax
+
+    sched = euler.make_schedule(CFG, 4)
+    x = np.zeros((1, 4, 16, 16), np.float32)
+    eps = np.zeros_like(x)
+    # x=eps=0 -> x0=0, d=0: output is purely the injected noise term
+    out = np.asarray(euler.step_ancestral(sched, 1, x, eps,
+                                          rng=jax.random.PRNGKey(0)))
+    _, sigma_up = euler.ancestral_sigmas(sched, 1)
+    assert abs(float(out.std()) / float(sigma_up) - 1.0) < 0.05
+    last = np.asarray(euler.step_ancestral(sched, 3, x, eps,
+                                           rng=jax.random.PRNGKey(0)))
+    np.testing.assert_array_equal(last, 0.0)
