@@ -30,9 +30,11 @@ def main():
                     help="fp32 VAE-encode chunk size (1 halves the encode "
                          "activation spike; KDModels.vae_encode_chunk)")
     ap.add_argument("--remat-policy", default="full",
-                    choices=["full", "dots"],
-                    help="dots = save matmul outputs, recompute the rest "
-                         "(selective remat; the mb8 HBM/FLOPs middle ground)")
+                    choices=["full", "dots", "blocks"],
+                    help="dots = save matmul outputs, recompute the rest; "
+                         "blocks = save per-block checkpoint_name tags, "
+                         "recompute one block at a time (bounds the peak "
+                         "backward liveness full remat has)")
     ap.add_argument("--tap-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="feature-KD MSE diff dtype (KDModels."

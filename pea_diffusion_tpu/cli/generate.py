@@ -98,6 +98,99 @@ def build_real(args):
     return models, params, tokenize, args.size
 
 
+def _load_image(path):
+    import numpy as np
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def _make_controlnet_run(args, models, params, tokenize, size, steps):
+    """ControlNet mode (reference tests/test_sdxl_zh_controlnet.py): real
+    checkpoints via --controlnet DIR, or a tiny random-weight ControlNet
+    under --demo."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.controlnet import ControlNet
+    from ..pipelines.controlnet import (
+        canny_edges, generate_sdxl_controlnet, prepare_control_image)
+    from ..pipelines.text2image import to_pil
+
+    arr = _load_image(args.control_image)
+    if args.control_canny:
+        arr = canny_edges(arr)
+    control = prepare_control_image(arr, size, size, 1)
+
+    if args.controlnet:
+        from ..checkpoints.load_pretrained import load_controlnet
+        cn_cfg, cn_params = load_controlnet(args.controlnet,
+                                            dtype=jnp.bfloat16)
+        cn = ControlNet(cn_cfg, dtype=jnp.bfloat16)
+    else:  # --demo: tiny random-weight ControlNet matching the tiny UNet
+        from ..configs.unet import ControlNetConfig
+        ucfg = models.unet.config
+        cn_cfg = ControlNetConfig(
+            unet=ucfg, conditioning_embedding_channels=(8, 8, 16, 16))
+        cn = ControlNet(cn_cfg, dtype=jnp.float32)
+        pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                      - 6 * ucfg.addition_time_embed_dim)
+        t = tokenize(["x"]).shape[1]
+        cn_params = cn.init(
+            jax.random.PRNGKey(2),
+            jnp.zeros((1, size // 8, size // 8, 4)), jnp.array([0]),
+            jnp.zeros((1, t, ucfg.cross_attention_dim)),
+            jnp.zeros((1, size, size, 3)), 1.0,
+            {"text_embeds": jnp.zeros((1, pooled_dim)),
+             "time_ids": jnp.zeros((1, 6))})
+
+    def run(prompt, negative, out_path, seed):
+        img = generate_sdxl_controlnet(
+            models, cn, params, cn_params, tokenize([prompt]),
+            tokenize([negative]), control, jax.random.PRNGKey(seed),
+            sampler_name=args.sampler, height=size, width=size,
+            num_steps=steps, guidance_scale=args.guidance,
+            guidance_rescale=args.guidance_rescale,
+            controlnet_conditioning_scale=args.control_scale,
+            guess_mode=args.control_guess,
+            control_guidance_start=args.control_start,
+            control_guidance_end=args.control_end)
+        to_pil(img)[0].save(out_path)
+        print(f"wrote {out_path}")
+
+    return run
+
+
+def _make_inpaint_run(args, models, params, tokenize, size, steps):
+    """Inpaint mode (reference tests/test_sdxl_zh_inpaint.py): 9ch and
+    4ch-blend bases are auto-detected from the loaded UNet's in_channels."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..pipelines.inpaint import (
+        generate_sdxl_inpaint, preprocess_image, preprocess_mask)
+    from ..pipelines.text2image import to_pil
+    from PIL import Image
+
+    image = jnp.asarray(preprocess_image(_load_image(args.inpaint_image),
+                                         size, size))
+    mask_arr = np.asarray(Image.open(args.mask).convert("L"))
+    mask = jnp.asarray(preprocess_mask(mask_arr, size, size))
+
+    def run(prompt, negative, out_path, seed):
+        img = generate_sdxl_inpaint(
+            models, params, tokenize([prompt]), tokenize([negative]),
+            image, mask, jax.random.PRNGKey(seed),
+            sampler_name=args.sampler, height=size, width=size,
+            num_steps=steps, guidance_scale=args.guidance,
+            guidance_rescale=args.guidance_rescale, strength=args.strength)
+        to_pil(img)[0].save(out_path)
+        print(f"wrote {out_path}")
+
+    return run
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--demo", action="store_true")
@@ -149,7 +242,43 @@ def main(argv=None):
                          "Megatron-style over a (1, N) device mesh for "
                          "single-image latency (parallel/tp.py; needs N "
                          "devices)")
+    cn = ap.add_argument_group(
+        "controlnet mode (tests/test_sdxl_zh_controlnet.py analog)")
+    cn.add_argument("--controlnet", metavar="DIR",
+                    help="diffusers ControlNetModel dir; with --demo a tiny "
+                         "random-weight ControlNet is used instead")
+    cn.add_argument("--control-image", metavar="PATH",
+                    help="conditioning image (enables ControlNet mode)")
+    cn.add_argument("--control-canny", action="store_true",
+                    help="apply Canny preprocessing to --control-image "
+                         "(reference :609-614)")
+    cn.add_argument("--control-scale", type=float, default=1.0)
+    cn.add_argument("--control-guess", action="store_true",
+                    help="guess mode: conditional-half-only control")
+    cn.add_argument("--control-start", type=float, default=0.0)
+    cn.add_argument("--control-end", type=float, default=1.0)
+    inp = ap.add_argument_group(
+        "inpaint mode (tests/test_sdxl_zh_inpaint.py analog)")
+    inp.add_argument("--inpaint-image", metavar="PATH",
+                     help="base image (enables inpaint mode; needs --mask)")
+    inp.add_argument("--mask", metavar="PATH",
+                     help="repaint-region mask (white = repaint)")
+    inp.add_argument("--strength", type=float, default=0.85)
     args = ap.parse_args(argv)
+
+    mode = "t2i"
+    if args.control_image or args.controlnet:
+        if not args.control_image or not (args.controlnet or args.demo):
+            ap.error("ControlNet mode needs --control-image and "
+                     "(--controlnet DIR or --demo)")
+        mode = "controlnet"
+    elif args.inpaint_image or args.mask:
+        if not (args.inpaint_image and args.mask):
+            ap.error("inpaint mode needs both --inpaint-image and --mask")
+        mode = "inpaint"
+    if mode != "t2i" and (args.tp > 1 or args.aot_cache or
+                          args.quant != "none"):
+        ap.error(f"--tp/--aot-cache/--quant are t2i-only (mode: {mode})")
 
     if not args.no_compile_cache:
         from ..utils.startup import enable_compile_cache
@@ -159,6 +288,7 @@ def main(argv=None):
 
     if args.demo:
         models, params, tokenize, size = build_demo()
+        size = min(args.size, size)  # tiny stack handles any /16 size
         steps = min(args.steps, 8)
     else:
         for req in ("model_dir", "text_encoder_dir", "adapter"):
@@ -182,17 +312,22 @@ def main(argv=None):
         mesh = ptp.make_tp_mesh((1, args.tp))
         params = ptp.shard_bundle_for_tp(params, mesh)
 
-    pipe = StableDiffusionXLPEAPipeline(models, params, args.sampler,
-                                        aot_dir=args.aot_cache, mesh=mesh)
+    if mode == "controlnet":
+        run = _make_controlnet_run(args, models, params, tokenize, size, steps)
+    elif mode == "inpaint":
+        run = _make_inpaint_run(args, models, params, tokenize, size, steps)
+    else:
+        pipe = StableDiffusionXLPEAPipeline(models, params, args.sampler,
+                                            aot_dir=args.aot_cache, mesh=mesh)
 
-    def run(prompt, negative, out_path, seed):
-        ids = tokenize([prompt])
-        uncond = tokenize([negative])
-        imgs = pipe(ids, uncond, height=size, width=size, num_steps=steps,
-                    guidance_scale=args.guidance,
-                    guidance_rescale=args.guidance_rescale, seed=seed)
-        imgs[0].save(out_path)
-        print(f"wrote {out_path}")
+        def run(prompt, negative, out_path, seed):
+            ids = tokenize([prompt])
+            uncond = tokenize([negative])
+            imgs = pipe(ids, uncond, height=size, width=size,
+                        num_steps=steps, guidance_scale=args.guidance,
+                        guidance_rescale=args.guidance_rescale, seed=seed)
+            imgs[0].save(out_path)
+            print(f"wrote {out_path}")
 
     run(args.prompt, args.negative_prompt, args.output, args.seed)
     if args.repl:

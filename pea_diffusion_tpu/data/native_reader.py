@@ -14,9 +14,23 @@ import subprocess
 from typing import Dict, Iterator, Optional, Sequence
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+# Search order: explicit override -> wheel-installed package data (setup.py
+# copies the .so next to this module) -> source-tree native/ build output.
+_SO_CANDIDATES = [
+    os.environ.get("PEA_WDS_TAR_SO", ""),
+    os.path.join(os.path.dirname(__file__), "libwds_tar.so"),
+    os.path.abspath(os.path.join(_NATIVE_DIR, "libwds_tar.so")),
+]
 _SO_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libwds_tar.so"))
 
 _lib = None
+
+
+def _find_so() -> Optional[str]:
+    for p in _SO_CANDIDATES:
+        if p and os.path.exists(p):
+            return p
+    return None
 
 
 class _WdsEntry(ctypes.Structure):
@@ -29,13 +43,18 @@ class _WdsEntry(ctypes.Structure):
 
 
 def ensure_built(quiet: bool = True) -> bool:
-    """Build libwds_tar.so if missing. Returns availability."""
-    if os.path.exists(_SO_PATH):
+    """Build libwds_tar.so if missing anywhere on the search path.
+
+    Installed wheels ship the .so as package data; source checkouts build it
+    on demand via native/Makefile. Returns availability."""
+    if _find_so():
         return True
+    if not os.path.isdir(os.path.abspath(_NATIVE_DIR)):
+        return False  # installed package without bundled .so and no source tree
     try:
         subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
                        check=True, capture_output=quiet)
-        return os.path.exists(_SO_PATH)
+        return _find_so() is not None
     except Exception as e:
         if not quiet:
             print(f"[native_reader] build failed: {e}")
@@ -48,7 +67,7 @@ def _load():
         return _lib
     if not ensure_built():
         raise OSError("libwds_tar.so unavailable")
-    lib = ctypes.CDLL(_SO_PATH)
+    lib = ctypes.CDLL(_find_so())
     lib.wds_open.restype = ctypes.c_void_p
     lib.wds_open.argtypes = [ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
                              ctypes.c_int, ctypes.c_int]

@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.attention import dot_product_attention
 
@@ -360,5 +361,10 @@ class Transformer2D(nn.Module):
                 self.num_heads, self.head_dim, self.dtype, self.backend,
                 name=f"blocks_{i}",
             )(x, context)
+            # remat cut point: under the KD step's "blocks" policy (train/
+            # kd.py save_only_these_names) each transformer block becomes its
+            # own recompute segment, so backward liveness is one block's
+            # internals — not the whole 10-layer stack's. Identity otherwise.
+            x = checkpoint_name(x, "unet_seg")
         x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
         return x.reshape(b, h, w, c) + residual

@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..configs.unet import UNetConfig
 from .layers import (
@@ -105,6 +106,9 @@ class UNet2DCondition(nn.Module):
                 if depths[j] > 0:
                     h = self._transformer(out_ch, i, depths[j],
                                           f"down_{i}_attn_{j}")(h, context)
+                # per-unit remat cut (train/kd.py "blocks" policy); identity
+                # outside jax.checkpoint
+                h = checkpoint_name(h, "unet_seg")
                 res_stack.append(h)
             if i < cfg.num_blocks - 1:
                 h = Downsample2D(out_ch, self.dtype, name=f"down_{i}_downsample")(h)
@@ -131,6 +135,7 @@ class UNet2DCondition(nn.Module):
         h = ResnetBlock2D(mid_ch, cfg.norm_num_groups, dtype=self.dtype,
                           conv_quant=self.conv_quant,
                           name="mid_resnet_1")(h, temb)
+        h = checkpoint_name(h, "unet_seg")
         if mid_block_additional_residual is not None:
             h = h + mid_block_additional_residual.astype(h.dtype)
         if capture_features:
@@ -149,6 +154,7 @@ class UNet2DCondition(nn.Module):
                 if depths[j] > 0:
                     h = self._transformer(out_ch, cfg.num_blocks - 1 - i,
                                           depths[j], f"up_{i}_attn_{j}")(h, context)
+                h = checkpoint_name(h, "unet_seg")
             if i < cfg.num_blocks - 1:
                 h = Upsample2D(out_ch, self.dtype, name=f"up_{i}_upsample")(h)
             if capture_features:

@@ -128,7 +128,64 @@ def _generate_sdxl_controlnet_jit(
 
 
 def canny_edges(image: np.ndarray, low: int = 100, high: int = 200) -> np.ndarray:
-    """Canny preprocessing (tests/test_sdxl_zh_controlnet.py:609-614)."""
-    import cv2
-    edges = cv2.Canny(np.asarray(image, np.uint8), low, high)
+    """Canny preprocessing (tests/test_sdxl_zh_controlnet.py:609-614).
+
+    Uses cv2 when present; otherwise a dependency-free numpy implementation
+    (gaussian blur -> sobel -> non-max suppression -> hysteresis) so the
+    ControlNet CLI mode works in cv2-less environments."""
+    try:
+        import cv2
+        edges = cv2.Canny(np.asarray(image, np.uint8), low, high)
+    except ImportError:
+        edges = _canny_numpy(np.asarray(image, np.uint8), low, high)
     return edges[:, :, None].repeat(3, axis=2)
+
+
+def _canny_numpy(image: np.ndarray, low: float, high: float) -> np.ndarray:
+    """Minimal host-side Canny: [H,W] or [H,W,3] uint8 -> [H,W] uint8 edges."""
+    g = image.astype(np.float32)
+    if g.ndim == 3:
+        g = g @ np.array([0.299, 0.587, 0.114], np.float32)
+    # separable 5-tap gaussian
+    k = np.array([1, 4, 6, 4, 1], np.float32) / 16.0
+    pad = np.pad(g, 2, mode="edge")
+    g = sum(k[i] * pad[i:i + g.shape[0], 2:-2] for i in range(5))
+    pad = np.pad(g, 2, mode="edge")
+    g = sum(k[i] * pad[2:-2, i:i + g.shape[1]] for i in range(5))
+
+    p = np.pad(g, 1, mode="edge")
+    gx = (p[1:-1, 2:] - p[1:-1, :-2]) * 2 + (p[:-2, 2:] - p[:-2, :-2]) \
+        + (p[2:, 2:] - p[2:, :-2])
+    gy = (p[2:, 1:-1] - p[:-2, 1:-1]) * 2 + (p[2:, :-2] - p[:-2, :-2]) \
+        + (p[2:, 2:] - p[:-2, 2:])
+    mag = np.hypot(gx, gy)
+    ang = np.mod(np.arctan2(gy, gx), np.pi)  # [0, pi)
+
+    # non-max suppression along the quantized gradient direction
+    mp = np.pad(mag, 1)
+    shifts = {  # direction bin -> the two neighbors along the gradient
+        0: (mp[1:-1, 2:], mp[1:-1, :-2]),       # E/W
+        1: (mp[2:, 2:], mp[:-2, :-2]),          # NE/SW
+        2: (mp[2:, 1:-1], mp[:-2, 1:-1]),       # N/S
+        3: (mp[2:, :-2], mp[:-2, 2:]),          # NW/SE
+    }
+    dbin = np.floor((ang + np.pi / 8) / (np.pi / 4)).astype(np.int32) % 4
+    keep = np.zeros_like(mag, bool)
+    for b, (n1, n2) in shifts.items():
+        m = dbin == b
+        keep |= m & (mag >= n1) & (mag >= n2)
+    nms = np.where(keep, mag, 0.0)
+
+    strong = nms >= high
+    weak = nms >= low
+    # hysteresis: grow strong edges through weak pixels to a fixpoint
+    while True:
+        sp = np.pad(strong, 1)
+        grown = weak & (
+            sp[:-2, :-2] | sp[:-2, 1:-1] | sp[:-2, 2:] | sp[1:-1, :-2]
+            | sp[1:-1, 2:] | sp[2:, :-2] | sp[2:, 1:-1] | sp[2:, 2:])
+        new = strong | grown
+        if (new == strong).all():
+            break
+        strong = new
+    return (strong * 255).astype(np.uint8)

@@ -64,7 +64,10 @@ class KDModels:
     # "dots": save matmul/conv outputs, recompute elementwise+norms only
     # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — the
     # selective policy that fits micro-batch 8 @640^2 where full-remat
-    # throughput loss isn't warranted (VERDICT r1 item 5)
+    # throughput loss isn't warranted (VERDICT r1 item 5);
+    # "blocks": save only the per-block "unet_seg" checkpoint_name tags
+    # (models/unet.py, Transformer2D) — hierarchical remat whose backward
+    # peak is one block's internals + the saved boundaries
     remat_policy: str = "full"
     # fp32 VAE encode of the full micro-batch spikes HBM (640^2x128 fp32
     # activations); lax.map over chunks caps the live set — encode cost is
@@ -194,6 +197,16 @@ def kd_loss(
         unet_apply = jax.checkpoint(
             unet_fwd,
             policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    elif models.remat_policy == "blocks":
+        # hierarchical remat: save ONLY the checkpoint_name("unet_seg") tags
+        # at block boundaries (models/unet.py + Transformer2D), so backward
+        # recomputes one block at a time instead of the whole UNet in one
+        # region — bounds the coexisting-temps peak that full remat has
+        # (an mb10 @640^2 OOM dump showed 13 simultaneous 156M LayerNorm
+        # temps from ONE rematted region)
+        unet_apply = jax.checkpoint(
+            unet_fwd,
+            policy=jax.checkpoint_policies.save_only_these_names("unet_seg"))
     else:
         unet_apply = jax.checkpoint(unet_fwd)
 
