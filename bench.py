@@ -49,10 +49,11 @@ def main():
                     choices=["bfloat16", "float32"])
     ap.add_argument("--model", default="sdxl", choices=["sdxl", "sd15"],
                     help="sd15 = 512^2 SD1.5 stack (BASELINE config 1)")
-    ap.add_argument("--quant", default="none", choices=["none", "int8"],
-                    help="int8: serve the UNet resnet convs on the int8 MXU "
-                         "path (quant/int8.py). Throughput is value-"
-                         "independent, so the bench skips calibration "
+    ap.add_argument("--quant", default="none",
+                    help="'int8' or 'int8:<scopes>' (resnet,shortcut,"
+                         "sampler): serve the in-scope UNet convs on the "
+                         "int8 MXU path (quant/int8.py). Throughput is "
+                         "value-independent, so the bench skips calibration "
                          "(scales default); quality numerics are covered by "
                          "tests/test_quant_int8.py and cli.generate --quant")
     args = ap.parse_args()
@@ -116,21 +117,24 @@ def main():
     phase("device_put")
     params = jax.device_put(params, jax.devices()[0])
 
-    if args.quant == "int8":
+    if args.quant != "none":
         # one jitted on-device pass (a host-side transform of the 2.6GB
         # UNet tree would cost minutes of 1-core CPU; per-leaf dispatch
         # over the relay would too)
         import dataclasses
 
         from pea_diffusion_tpu.quant import quantize_unet_params
-        phase("quantize unet -> int8")
+        from pea_diffusion_tpu.quant.int8 import parse_scopes
+        scopes = parse_scopes(args.quant)
+        phase(f"quantize unet -> {args.quant}")
         params = dict(params)
         params["unet"] = jax.jit(
-            lambda p: quantize_unet_params(p, None, default_amax=4.0)
+            lambda p: quantize_unet_params(p, None, default_amax=4.0,
+                                           scopes=scopes)
         )(params["unet"])
         models = dataclasses.replace(
             models,
-            unet=dataclasses.replace(models.unet, conv_quant="int8"))
+            unet=dataclasses.replace(models.unet, conv_quant=args.quant))
 
     T = 52  # Chinese-CLIP context length
     gen = generate_sd if args.model == "sd15" and not args.quick else generate_sdxl

@@ -115,7 +115,8 @@ class ControlNet(nn.Module):
                 res_out.append(zero_conv(h, f"zero_conv_{zc}"))
                 zc += 1
             if i < cfg.num_blocks - 1:
-                h = Downsample2D(out_ch, self.dtype, name=f"down_{i}_downsample")(h)
+                h = Downsample2D(out_ch, self.dtype, self.conv_quant,
+                                 name=f"down_{i}_downsample")(h)
                 res_out.append(zero_conv(h, f"zero_conv_{zc}"))
                 zc += 1
 

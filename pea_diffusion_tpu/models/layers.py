@@ -94,10 +94,15 @@ def group_norm(x, scale, bias, num_groups: int, eps: float):
     (2) stats still use one pass (E[x^2]-E[x]^2, fp32 accumulation) — same
     math as before up to reduction-order rounding.
 
-    PEA_GN_GROUPED=1 selects the grouped-reshape form above — the measured
-    single-image (batch-1) latency knob for serving."""
+    The formulation is auto-selected by the STATIC batch size (programs
+    compile per batch anyway): b<=2 takes the grouped-reshape form — at
+    [1..2, H, W, C] it measured faster end-to-end (b1 0.2587 vs 0.2515
+    img/s, BASELINE.md rounds 3-4) and its fp32 temps are tiny — b>=3 the
+    per-channel-sums form below. PEA_GN_GROUPED=1/0 forces grouped/sums
+    (the measurement override)."""
     import os
-    if os.environ.get("PEA_GN_GROUPED"):
+    knob = os.environ.get("PEA_GN_GROUPED")
+    if knob == "1" or (knob != "0" and x.shape[0] <= 2):
         return group_norm_grouped(x, scale, bias, num_groups, eps)
     orig_dtype = x.dtype
     shape = x.shape
@@ -156,8 +161,10 @@ class ResnetBlock2D(nn.Module):
     """GN-silu-conv x2 with timestep bias and 1x1 shortcut (diffusers
     ResnetBlock2D, output_scale_factor=1).
 
-    conv_quant="int8" swaps the two 3x3 convs for QConvInt8 (int8 MXU
-    serving path, quant/int8.py); shortcut/norms/time proj stay float."""
+    conv_quant "int8"/"int8:<scopes>" swaps in-scope convs for QConvInt8
+    (int8 MXU serving path, quant/int8.py): the two 3x3s under the
+    "resnet" scope, the 1x1 channel-matching conv under "shortcut";
+    norms/time proj always stay float."""
 
     out_channels: int
     norm_num_groups: int = 32
@@ -165,12 +172,24 @@ class ResnetBlock2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     conv_quant: str = "none"
 
+    def _scopes(self):
+        from ..quant.int8 import parse_scopes
+        return parse_scopes(self.conv_quant)
+
     def _conv3x3(self, name: str):
-        if self.conv_quant == "int8":
+        if "resnet" in self._scopes():
             from ..quant.int8 import QConvInt8
             return QConvInt8(self.out_channels, (3, 3), name=name)
         return nn.Conv(self.out_channels, (3, 3), padding=1,
                        dtype=self.dtype, name=name)
+
+    def _conv_shortcut(self):
+        if "shortcut" in self._scopes():
+            from ..quant.int8 import QConvInt8
+            return QConvInt8(self.out_channels, (1, 1),
+                             name="conv_shortcut")
+        return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                       name="conv_shortcut")
 
     @nn.compact
     def __call__(self, x, temb: Optional[jnp.ndarray] = None):
@@ -187,31 +206,42 @@ class ResnetBlock2D(nn.Module):
                       name="norm2")(h, extra_bias=t)
         h = self._conv3x3("conv2")(h)
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name="conv_shortcut")(x)
+            x = self._conv_shortcut()(x)
         return x + h
+
+
+def _sampler_conv(out_channels, dtype, conv_quant, strides=(1, 1)):
+    """The Downsample/Upsample 3x3 conv, int8 under the "sampler" scope."""
+    from ..quant.int8 import parse_scopes
+    if "sampler" in parse_scopes(conv_quant):
+        from ..quant.int8 import QConvInt8
+        return QConvInt8(out_channels, (3, 3), strides=strides, name="conv")
+    return nn.Conv(out_channels, (3, 3), strides=strides, padding=1,
+                   dtype=dtype, name="conv")
 
 
 class Downsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    conv_quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.out_channels, (3, 3), strides=(2, 2), padding=1,
-                       dtype=self.dtype, name="conv")(x)
+        return _sampler_conv(self.out_channels, self.dtype,
+                             self.conv_quant, strides=(2, 2))(x)
 
 
 class Upsample2D(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
+    conv_quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                       name="conv")(x)
+        return _sampler_conv(self.out_channels, self.dtype,
+                             self.conv_quant)(x)
 
 
 class MultiHeadAttention(nn.Module):

@@ -95,7 +95,14 @@ class UNet2DCondition(nn.Module):
         features: Dict[str, jnp.ndarray] = {}
 
         # --- down path --------------------------------------------------------
-        h = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype, name="conv_in")(sample.astype(self.dtype))
+        from ..quant.int8 import parse_scopes
+        if "sampler" in parse_scopes(self.conv_quant):
+            from ..quant.int8 import QConvInt8
+            conv_in = QConvInt8(c0, (3, 3), name="conv_in")
+        else:
+            conv_in = nn.Conv(c0, (3, 3), padding=1, dtype=self.dtype,
+                              name="conv_in")
+        h = conv_in(sample.astype(self.dtype))
         res_stack: List[jnp.ndarray] = [h]
         for i, out_ch in enumerate(cfg.block_out_channels):
             depths = cfg.down_block_layers(i)
@@ -111,7 +118,8 @@ class UNet2DCondition(nn.Module):
                 h = checkpoint_name(h, "unet_seg")
                 res_stack.append(h)
             if i < cfg.num_blocks - 1:
-                h = Downsample2D(out_ch, self.dtype, name=f"down_{i}_downsample")(h)
+                h = Downsample2D(out_ch, self.dtype, self.conv_quant,
+                                 name=f"down_{i}_downsample")(h)
                 res_stack.append(h)
             if capture_features:
                 features[f"d{i}"] = h
@@ -156,7 +164,8 @@ class UNet2DCondition(nn.Module):
                                           depths[j], f"up_{i}_attn_{j}")(h, context)
                 h = checkpoint_name(h, "unet_seg")
             if i < cfg.num_blocks - 1:
-                h = Upsample2D(out_ch, self.dtype, name=f"up_{i}_upsample")(h)
+                h = Upsample2D(out_ch, self.dtype, self.conv_quant,
+                               name=f"up_{i}_upsample")(h)
             if capture_features:
                 features[f"u{i}"] = h
 

@@ -4,6 +4,8 @@ from .int8 import (  # noqa: F401
     calibrate_sdxl,
     load_ranges,
     merge_ranges,
+    parse_scopes,
+    per_conv_sqnr,
     quantize_for_serving,
     quantize_unet_params,
     save_ranges,

@@ -20,11 +20,17 @@ Scheme (standard PTQ, Q-Diffusion-style granularity):
   pure elementwise op that XLA fuses into the preceding GroupNorm/SiLU
   epilogue — no extra reduction pass over the activation (which would eat
   the int8 win on this bandwidth-bound step).
-- scope: the resnet `conv1`/`conv2` 3x3 convs (the bulk of conv FLOPs).
-  Shortcut 1x1s, conv_in/out, samplers, attention and the VAE stay bf16;
-  GEMMs stay bf16 because int8 GEMM measured SLOWER than bf16 at SDXL
-  shapes on this chip (tools/bench_int8.py — MXU int8 conv path wins,
-  the int8 matmul path does not).
+- scope: `conv_quant` is "none", "int8" (= "int8:resnet"), or
+  "int8:<scopes>" with scopes from {resnet, shortcut, sampler}:
+    resnet   — the resnet conv1/conv2 3x3s (bulk of conv FLOPs; default)
+    shortcut — the resnet 1x1 channel-matching convs
+    sampler  — Downsample/Upsample 3x3s + conv_in (the stem)
+  Each extension is gated by its own microbench (tools/bench_int8.py) and
+  e2e row in BASELINE.md. conv_out always stays float (the 4-channel
+  output head sets image quality); attention and the VAE stay bf16 —
+  int8 GEMM measured SLOWER than bf16 at SDXL shapes on this chip
+  (tools/bench_int8.py — the MXU int8 conv path wins, the int8 matmul
+  path does not).
 
 The quantized model is the SAME flax module tree with `conv_quant="int8"`
 (models/unet.py) — only the conv param leaves change:
@@ -41,6 +47,21 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 _EPS = 1e-8
+
+SCOPES = ("resnet", "shortcut", "sampler")
+
+
+def parse_scopes(conv_quant: str) -> frozenset:
+    """'none' -> {}; 'int8' -> {resnet}; 'int8:a,b' -> {a, b}."""
+    if not conv_quant or conv_quant == "none":
+        return frozenset()
+    if conv_quant == "int8":
+        return frozenset({"resnet"})
+    assert conv_quant.startswith("int8:"), conv_quant
+    scopes = frozenset(s for s in conv_quant[5:].split(",") if s)
+    unknown = scopes - set(SCOPES)
+    assert not unknown, f"unknown int8 scopes {sorted(unknown)}"
+    return scopes
 
 
 def quantize_weight(kernel: jnp.ndarray,
@@ -64,6 +85,7 @@ class QConvInt8(nn.Module):
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
 
     @nn.compact
     def __call__(self, x):
@@ -84,7 +106,7 @@ class QConvInt8(nn.Module):
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kernel_q.shape, ("NHWC", "HWIO", "NHWC"))
         y = jax.lax.conv_general_dilated(
-            xq, kernel_q, (1, 1),
+            xq, kernel_q, self.strides,
             [((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)],
             dimension_numbers=dn, preferred_element_type=jnp.int32)
         out = y.astype(jnp.float32) * (x_scale * w_scale) + bias
@@ -94,12 +116,42 @@ class QConvInt8(nn.Module):
 # --- calibration -----------------------------------------------------------
 
 
-def _is_target_conv(path: Tuple[str, ...]) -> bool:
-    return (len(path) >= 2 and path[-1] in ("conv1", "conv2")
-            and "resnet" in path[-2])
+_RESNET_SCOPE = frozenset({"resnet"})
 
 
-def calibrate_conv_ranges(unet, params, batches: Sequence[tuple]
+def _is_target_conv(path: Tuple[str, ...],
+                    scopes: frozenset = _RESNET_SCOPE) -> bool:
+    """Scope membership for one conv module path (names from the module
+    tree, e.g. ('down_0_resnet_0', 'conv1'); the 'params' tree prefix is
+    stripped by callers via _range_key/_walk paths being module-relative).
+    conv_out (the 4-channel output head) is never a target."""
+    if not path:
+        return False
+    parent = path[-2] if len(path) >= 2 else ""
+    leaf = path[-1]
+    if "resnet" in parent:
+        if leaf in ("conv1", "conv2"):
+            return "resnet" in scopes
+        if leaf == "conv_shortcut":
+            return "shortcut" in scopes
+    if "sampler" in scopes:
+        if leaf == "conv" and ("downsample" in parent or
+                               "upsample" in parent):
+            return True
+        if leaf == "conv_in":
+            return True
+    return False
+
+
+def _range_key(path: Tuple[str, ...]) -> str:
+    """Calibration-dict key for a conv path; ignores the flax 'params'
+    collection prefix so module paths and param-tree paths agree."""
+    p = tuple(x for x in path if x != "params")
+    return "/".join(p[-2:])
+
+
+def calibrate_conv_ranges(unet, params, batches: Sequence[tuple],
+                          scopes: frozenset = _RESNET_SCOPE
                           ) -> Dict[str, jnp.ndarray]:
     """Run the FLOAT UNet over representative (sample, t, context, added)
     batches and return {"down_0_resnet_0/conv1": max|input|, ...}.
@@ -114,8 +166,8 @@ def calibrate_conv_ranges(unet, params, batches: Sequence[tuple]
 
         def interceptor(next_fn, fargs, fkwargs, context):
             m = context.module
-            if isinstance(m, nn.Conv) and _is_target_conv(m.path):
-                records["/".join(m.path[-2:])] = jnp.max(
+            if isinstance(m, nn.Conv) and _is_target_conv(m.path, scopes):
+                records[_range_key(m.path)] = jnp.max(
                     jnp.abs(fargs[0].astype(jnp.float32)))
             return next_fn(*fargs, **fkwargs)
 
@@ -129,7 +181,8 @@ def calibrate_conv_ranges(unet, params, batches: Sequence[tuple]
         rec = jax.device_get(jitted(params, args))
         out = merge_ranges(out, rec)
     if not out:
-        raise ValueError("calibration saw no resnet convs — wrong model?")
+        raise ValueError("calibration saw no in-scope convs — wrong model "
+                         f"or scopes? scopes={sorted(scopes)}")
     return {k: float(v) for k, v in out.items()}
 
 
@@ -143,7 +196,8 @@ def merge_ranges(a: Dict[str, jnp.ndarray], b: Dict[str, jnp.ndarray]
 
 def calibrate_sdxl(models, params, ids, uncond_ids, size: int,
                    timesteps: Sequence[int] = (999, 749, 499, 249, 49),
-                   seed: int = 0) -> Dict[str, float]:
+                   seed: int = 0,
+                   scopes: frozenset = _RESNET_SCOPE) -> Dict[str, float]:
     """Calibrate the SDXL UNet with the real prompt conditioning at a
     spread of denoising timesteps. Latents are unit-gaussian draws — the
     DDPM forward process is variance-preserving, so trajectory latents are
@@ -168,7 +222,8 @@ def calibrate_sdxl(models, params, ids, uncond_ids, size: int,
             k, (b2, size // 8, size // 8, cin), context.dtype)
         batches.append((lat, jnp.full((b2,), int(t), jnp.int32),
                         context, added))
-    return calibrate_conv_ranges(models.unet, params["unet"], batches)
+    return calibrate_conv_ranges(models.unet, params["unet"], batches,
+                                 scopes)
 
 
 def save_ranges(path: str, ranges: Dict[str, float]) -> None:
@@ -188,43 +243,120 @@ def load_ranges(path: str) -> Dict[str, float]:
 
 
 def quantize_for_serving(models, params, ids, uncond_ids, size: int,
-                         ranges_path: Optional[str] = None):
+                         ranges_path: Optional[str] = None,
+                         conv_quant: str = "int8"):
     """Calibrate + quantize one PEAModels bundle for int8 serving.
 
     Returns (models', params') — the same bundle with the UNet rebuilt
-    `conv_quant="int8"` and its param tree transformed in one jitted
-    on-device pass (a host-side walk of the 2.6GB tree costs minutes on a
-    1-core host). `ranges_path`: if the file exists, calibration is
-    skipped and the saved ranges are used; otherwise the fresh ranges are
-    saved there."""
+    with `conv_quant` ("int8" or "int8:<scopes>", see module doc) and its
+    param tree transformed in one jitted on-device pass (a host-side walk
+    of the 2.6GB tree costs minutes on a 1-core host). `ranges_path`: if
+    the file exists, calibration is skipped and the saved ranges are used
+    (it must cover the requested scopes — keys are per-conv, so a
+    resnet-only cache does NOT serve a wider scope; missing convs fall
+    back loudly); otherwise the fresh ranges are saved there."""
     import dataclasses
     import os
 
+    scopes = parse_scopes(conv_quant)
+    assert scopes, conv_quant
     if ranges_path and os.path.exists(ranges_path):
         ranges = load_ranges(ranges_path)
     else:
-        ranges = calibrate_sdxl(models, params, ids, uncond_ids, size)
+        ranges = calibrate_sdxl(models, params, ids, uncond_ids, size,
+                                scopes=scopes)
         if ranges_path:
             save_ranges(ranges_path, ranges)
     params = dict(params)
     params["unet"] = jax.jit(
-        lambda p: quantize_unet_params(p, ranges))(params["unet"])
+        lambda p: quantize_unet_params(p, ranges, scopes=scopes)
+    )(params["unet"])
     models = dataclasses.replace(
-        models, unet=dataclasses.replace(models.unet, conv_quant="int8"))
+        models, unet=dataclasses.replace(models.unet,
+                                         conv_quant=conv_quant))
     return models, params
+
+
+# --- quality analysis --------------------------------------------------------
+
+
+def per_conv_sqnr(unet, params, batches: Sequence[tuple],
+                  ranges: Dict[str, float],
+                  scopes: frozenset = _RESNET_SCOPE) -> Dict[str, float]:
+    """Per-conv ISOLATED error budget: for each in-scope conv, feed the
+    FLOAT activation through both the float conv and the simulated int8
+    conv (same static x_scale the serving path uses) and report
+    SQNR = 10*log10(||y||^2 / ||y - y_q||^2) in dB, worst case over
+    `batches`. Isolated = the float trajectory is never perturbed, so each
+    number is that conv's own quantization noise, not accumulated drift
+    (the accumulated number is the e2e rel-error the tests bound).
+
+    Implementation: one jitted program per batch; an nn.intercept_methods
+    tap computes the int8 simulation alongside the float op and records
+    the SQNR tracer (same mechanism as calibrate_conv_ranges)."""
+
+    def one_batch(p, args):
+        records: Dict[str, jnp.ndarray] = {}
+
+        def interceptor(next_fn, fargs, fkwargs, context):
+            m = context.module
+            y = next_fn(*fargs, **fkwargs)
+            if isinstance(m, nn.Conv) and _is_target_conv(m.path, scopes):
+                key = _range_key(m.path)
+                x = fargs[0].astype(jnp.float32)
+                kernel = m.variables["params"]["kernel"].astype(jnp.float32)
+                bias = m.variables["params"]["bias"].astype(jnp.float32)
+                kq, w_scale = quantize_weight(kernel)
+                x_scale = jnp.float32(
+                    max(float(ranges.get(key, 1.0)), _EPS) / 127.0)
+                xq = jnp.clip(jnp.round(x / x_scale), -127, 127
+                              ).astype(jnp.int8)
+                dn = jax.lax.conv_dimension_numbers(
+                    x.shape, kq.shape, ("NHWC", "HWIO", "NHWC"))
+                kh, kw = kernel.shape[0], kernel.shape[1]
+                strides = getattr(m, "strides", None) or (1, 1)
+                if isinstance(strides, int):
+                    strides = (strides, strides)
+                yq = jax.lax.conv_general_dilated(
+                    xq, kq, strides,
+                    [((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)],
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.int32)
+                yq = yq.astype(jnp.float32) * (x_scale * w_scale) + bias
+                yf = y.astype(jnp.float32)
+                num = jnp.sum(yf * yf)
+                den = jnp.sum((yf - yq) ** 2) + _EPS
+                records[key] = 10.0 * jnp.log10(num / den)
+            return y
+
+        with nn.intercept_methods(interceptor):
+            unet.apply(p, *args)
+        return records
+
+    jitted = jax.jit(one_batch)
+    worst: Dict[str, float] = {}
+    for args in batches:
+        rec = jax.device_get(jitted(params, args))
+        for k, v in rec.items():
+            worst[k] = min(worst.get(k, float("inf")), float(v))
+    if not worst:
+        raise ValueError(f"no in-scope convs found, scopes={sorted(scopes)}")
+    return worst
 
 
 # --- param-tree transform --------------------------------------------------
 
 
 def quantize_unet_params(float_params, ranges: Optional[Dict[str, float]],
-                         default_amax: float = 1.0):
+                         default_amax: float = 1.0,
+                         scopes: frozenset = _RESNET_SCOPE):
     """Float UNet variables -> the param layout QConvInt8 expects.
 
-    `ranges` comes from `calibrate_conv_ranges`; a conv missing from it
-    falls back to `default_amax` (serviceable for smoke tests; calibrate
-    for real serving)."""
+    `ranges` comes from `calibrate_conv_ranges`; an in-scope conv missing
+    from it falls back to `default_amax` with a warning (serviceable for
+    smoke tests; calibrate with matching scopes for real serving)."""
     ranges = ranges or {}
+    missing = []
 
     def walk(tree, path):
         if not isinstance(tree, dict):
@@ -232,10 +364,13 @@ def quantize_unet_params(float_params, ranges: Optional[Dict[str, float]],
         out = {}
         for name, sub in tree.items():
             p = path + (name,)
-            if (isinstance(sub, dict) and _is_target_conv(p)
+            if (isinstance(sub, dict) and _is_target_conv(p, scopes)
                     and "kernel" in sub):
                 kq, w_scale = quantize_weight(sub["kernel"])
-                amax = float(ranges.get("/".join(p[-2:]), default_amax))
+                key = _range_key(p)
+                if key not in ranges:
+                    missing.append(key)
+                amax = float(ranges.get(key, default_amax))
                 out[name] = {
                     "kernel_q": kq,
                     "w_scale": w_scale,
@@ -246,4 +381,9 @@ def quantize_unet_params(float_params, ranges: Optional[Dict[str, float]],
                 out[name] = walk(sub, p)
         return out
 
-    return walk(float_params, ())
+    quantized = walk(float_params, ())
+    if missing and ranges:
+        print(f"[int8] WARNING: {len(missing)} in-scope convs missing "
+              f"from calibration ranges (using default_amax="
+              f"{default_amax}): {missing[:5]}{'...' if len(missing) > 5 else ''}")
+    return quantized

@@ -66,3 +66,37 @@ def test_group_norm_grouped_matches_default():
     a = group_norm(x, scale, bias, 16, 1e-5)
     b = group_norm_grouped(x, scale, bias, 16, 1e-5)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_group_norm_auto_selects_formulation_by_batch(monkeypatch):
+    """The formulation is picked from the STATIC batch size (grouped for
+    b<=2, per-channel sums for b>=3), with PEA_GN_GROUPED=1/0 as the
+    forcing override (BASELINE.md round-4 b1 re-measure)."""
+    from pea_diffusion_tpu.models import layers
+
+    calls = []
+    real = layers.group_norm_grouped
+
+    def spy(x, scale, bias, g, eps):
+        calls.append(x.shape[0])
+        return real(x, scale, bias, g, eps)
+
+    monkeypatch.setattr(layers, "group_norm_grouped", spy)
+    rng = np.random.RandomState(3)
+    scale = jnp.asarray(rng.randn(32).astype(np.float32))
+    bias = jnp.asarray(rng.randn(32).astype(np.float32))
+
+    def run(b):
+        x = jnp.asarray(rng.randn(b, 4, 4, 32).astype(np.float32))
+        return layers.group_norm(x, scale, bias, 8, 1e-5)
+
+    monkeypatch.delenv("PEA_GN_GROUPED", raising=False)
+    run(1), run(2), run(3), run(8)
+    assert calls == [1, 2]          # b<=2 grouped, b>=3 sums
+    monkeypatch.setenv("PEA_GN_GROUPED", "0")
+    calls.clear()
+    run(1)
+    assert calls == []              # forced sums
+    monkeypatch.setenv("PEA_GN_GROUPED", "1")
+    run(8)
+    assert calls == [8]             # forced grouped

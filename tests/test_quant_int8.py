@@ -193,6 +193,106 @@ def test_quantize_for_serving_uses_saved_ranges(tmp_path, monkeypatch):
         "kernel_q"].dtype == jnp.int8
 
 
+def test_parse_scopes():
+    from pea_diffusion_tpu.quant import parse_scopes
+
+    assert parse_scopes("none") == frozenset()
+    assert parse_scopes("int8") == {"resnet"}
+    assert parse_scopes("int8:resnet,shortcut") == {"resnet", "shortcut"}
+    assert parse_scopes("int8:resnet,shortcut,sampler") == \
+        {"resnet", "shortcut", "sampler"}
+    with pytest.raises(AssertionError):
+        parse_scopes("int8:bogus")
+    with pytest.raises(AssertionError):
+        parse_scopes("fp8")
+
+
+FULL = "int8:resnet,shortcut,sampler"
+FULL_SCOPES = frozenset({"resnet", "shortcut", "sampler"})
+
+
+def test_full_scope_calibration_and_coverage():
+    """Extended scopes calibrate the shortcut 1x1s, the up/down sampler
+    convs and conv_in (VERDICT r3 item 1b)."""
+    unet, _, params, args = _setup()
+    ranges = calibrate_conv_ranges(unet, params, [args],
+                                   scopes=FULL_SCOPES)
+    assert "conv_in" in ranges
+    assert any(k.endswith("/conv_shortcut") for k in ranges), sorted(ranges)
+    assert any("downsample/conv" in k for k in ranges), sorted(ranges)
+    assert any("upsample/conv" in k for k in ranges), sorted(ranges)
+    # resnet-only calibration is a strict subset
+    base = calibrate_conv_ranges(unet, params, [args])
+    assert set(base) < set(ranges)
+    # conv_out (the output head) must NEVER be in scope
+    assert not any("conv_out" in k for k in ranges)
+
+
+def test_full_scope_quant_structure_and_numerics():
+    """int8:resnet,shortcut,sampler — transformed tree matches the scoped
+    module's init structure exactly, and the output stays close to
+    float."""
+    unet, _, params, args = _setup()
+    qunet = UNet2DCondition(SDXL_UNET_TINY, dtype=jnp.float32,
+                            attn_backend="xla", conv_quant=FULL)
+    ranges = calibrate_conv_ranges(unet, params, [args],
+                                   scopes=FULL_SCOPES)
+    qparams = quantize_unet_params(params, ranges, scopes=FULL_SCOPES)
+
+    latents, t, context, added = args
+    expect = jax.eval_shape(
+        lambda: qunet.init(jax.random.PRNGKey(0), latents, t, context,
+                           added))
+    got = {jax.tree_util.keystr(p): (l.shape, l.dtype)
+           for p, l in jax.tree_util.tree_leaves_with_path(qparams)}
+    want = {jax.tree_util.keystr(p): (l.shape, l.dtype)
+            for p, l in jax.tree_util.tree_leaves_with_path(expect)}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], k
+    # more int8 kernels than the resnet-only transform
+    n_int8_full = sum(1 for s, d in got.values() if d == jnp.int8)
+    base = quantize_unet_params(params, ranges)
+    n_int8_base = sum(
+        1 for l in jax.tree_util.tree_leaves(base) if l.dtype == jnp.int8)
+    assert n_int8_full > n_int8_base
+
+    ref = jax.jit(unet.apply)(params, *args)
+    out = jax.jit(qunet.apply)(qparams, *args)
+    a, b = np.asarray(ref, np.float64), np.asarray(out, np.float64)
+    assert np.isfinite(b).all()
+    rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+    assert rel < 0.08, rel
+    assert rel > 1e-6
+
+
+def test_per_conv_sqnr_isolated():
+    """per_conv_sqnr: every in-scope conv reports a finite positive SQNR,
+    and a deliberately broken calibration range (100x too small -> heavy
+    clipping) shows up as a much worse number for that conv only."""
+    from pea_diffusion_tpu.quant import per_conv_sqnr
+
+    unet, _, params, args = _setup()
+    ranges = calibrate_conv_ranges(unet, params, [args],
+                                   scopes=FULL_SCOPES)
+    sqnr = per_conv_sqnr(unet, params, [args], ranges, scopes=FULL_SCOPES)
+    assert set(sqnr) == set(ranges)
+    # random-weight int8 conv: expect healthy SQNR (>20 dB) everywhere
+    assert all(np.isfinite(v) for v in sqnr.values())
+    assert min(sqnr.values()) > 20.0, sorted(sqnr.items(), key=lambda x: x[1])[:3]
+
+    victim = sorted(ranges)[0]
+    bad = dict(ranges)
+    bad[victim] = ranges[victim] / 100.0
+    sqnr_bad = per_conv_sqnr(unet, params, [args], bad,
+                             scopes=FULL_SCOPES)
+    assert sqnr_bad[victim] < sqnr[victim] - 10.0
+    others = [k for k in sqnr if k != victim]
+    # isolation: other convs' numbers unchanged
+    for k in others:
+        assert abs(sqnr_bad[k] - sqnr[k]) < 1e-3
+
+
 def test_quant_sd15_unet():
     """QConv is config-generic: the SD1.5-shaped UNet (no added_cond)
     quantizes and stays close to float (the --quant int8 path for the
