@@ -47,6 +47,42 @@ def build_demo():
     return models, params, tokenize, 256
 
 
+def build_demo_full():
+    """Full-size SDXL stack with RANDOM weights (the bench.py bundle, as a
+    serving target): real shapes/dtypes/program, garbage pixels. For load
+    benchmarks (tools/bench_serve.py) on hosts without checkpoints."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..configs.adapter import ADAPTER_PRESETS
+    from ..configs.text_encoder import CHINESE_CLIP_LARGE
+    from ..configs.unet import SDXL_UNET, SDXL_VAE
+    from ..pipelines.factory import build_models, init_params_host
+
+    models = build_models(
+        family="chinese_clip", text_cfg=CHINESE_CLIP_LARGE,
+        adapter_cfg=ADAPTER_PRESETS["sdxl_chinese_clip"],
+        unet_cfg=SDXL_UNET, vae_cfg=SDXL_VAE, dtype=jnp.bfloat16,
+        vae_dtype=jnp.bfloat16)
+    params = init_params_host(
+        models, "chinese_clip", CHINESE_CLIP_LARGE, seq_len=52,
+        dtypes={"text": jnp.bfloat16, "adapter": np.float32,
+                "unet": jnp.bfloat16, "vae": jnp.bfloat16})
+    params = jax.device_put(params, jax.devices()[0])
+
+    vocab = CHINESE_CLIP_LARGE.vocab_size
+
+    def tokenize(texts):
+        out = np.full((len(texts), 52), 4, np.int32)
+        for i, t in enumerate(texts):
+            ids = [(hash(c) % (vocab - 5)) + 5 for c in t[:52]]
+            out[i, :len(ids)] = ids
+        return out
+
+    return models, params, tokenize, 1024
+
+
 def build_real(args):
     import jax.numpy as jnp
 
@@ -122,7 +158,12 @@ def _make_controlnet_run(args, models, params, tokenize, size, steps):
         arr = canny_edges(arr)
     control = prepare_control_image(arr, size, size, 1)
 
-    if args.controlnet:
+    if args.controlnet and args.demo:
+        # a real checkpoint's dims can never match the tiny demo UNet/text
+        # stack — honor the documented --demo semantics instead of crashing
+        print("[generate] --demo: ignoring --controlnet checkpoint, using "
+              "the tiny random-weight ControlNet")
+    if args.controlnet and not args.demo:
         from ..checkpoints.load_pretrained import load_controlnet
         cn_cfg, cn_params = load_controlnet(args.controlnet,
                                             dtype=jnp.bfloat16)
@@ -229,9 +270,11 @@ def main(argv=None):
                          "(utils/startup.py)")
     ap.add_argument("--no-compile-cache", action="store_true",
                     help="disable the persistent XLA compile cache")
-    ap.add_argument("--quant", default="none", choices=["none", "int8"],
-                    help="int8: PTQ the UNet resnet convs onto the int8 MXU "
-                         "path (quant/int8.py) — calibrates on the prompt's "
+    ap.add_argument("--quant", default="none",
+                    help="'int8' (= int8:resnet) or 'int8:<scopes>' with "
+                         "scopes from {resnet,shortcut,sampler}: PTQ the "
+                         "in-scope UNet convs onto the int8 MXU path "
+                         "(quant/int8.py) — calibrates on the prompt's "
                          "conditioning at a spread of timesteps, then "
                          "serves the quantized tree")
     ap.add_argument("--calib-ranges", metavar="PATH",
@@ -297,14 +340,16 @@ def main(argv=None):
         models, params, tokenize, size = build_real(args)
         steps = args.steps
 
-    if args.quant == "int8":
+    if args.quant != "none":
         from ..quant import quantize_for_serving
+        from ..quant.int8 import parse_scopes
+        parse_scopes(args.quant)  # validate early: loud on a typo'd scope
 
         print("calibrating int8 conv ranges...", file=sys.stderr)
         models, params = quantize_for_serving(
             models, params, tokenize([args.prompt]),
             tokenize([args.negative_prompt]), size,
-            ranges_path=args.calib_ranges)
+            ranges_path=args.calib_ranges, conv_quant=args.quant)
 
     mesh = None
     if args.tp > 1:

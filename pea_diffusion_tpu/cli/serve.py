@@ -35,8 +35,12 @@ class BatchingEngine:
 
     submit() blocks the calling handler thread until its image is ready.
     One worker thread owns the pipeline (the chip serves one program at a
-    time regardless); requests with identical (steps, guidance, rescale)
-    co-batch, others run in their own call within the same drain cycle."""
+    time regardless). Only `steps` splits a drain cycle into separate
+    device calls (it changes the compiled program); guidance/rescale are
+    per-request [B] operands (pipelines/text2image.py cfg_combine
+    broadcasts them), so mixed-CFG requests still land in ONE call. A
+    uniform group passes scalars instead — that keeps the AOT-exported
+    program (which pins scalar CFG operands) usable for the common case."""
 
     def __init__(self, pipe, tokenize, size, max_batch=8, window_ms=150,
                  latent_factor=8):
@@ -77,8 +81,8 @@ class BatchingEngine:
                     break
             groups: dict = {}
             for item in batch:
-                groups.setdefault(item[0], []).append(item)
-            for (steps, guidance, rescale), items in groups.items():
+                groups.setdefault(item[0][0], []).append(item)  # by steps
+            for steps, items in groups.items():
                 try:
                     n = len(items)
                     # round up to a power of two: bounded program count
@@ -91,6 +95,15 @@ class BatchingEngine:
                     if padded > n:
                         rows.append(self._noise(0, padded - n))
                     noise = np.concatenate(rows)
+                    # pad rows reuse row 0's CFG so do_cfg is unaffected
+                    gs = [it[0][1] for it in items] + \
+                        [items[0][0][1]] * (padded - n)
+                    rs = [it[0][2] for it in items] + \
+                        [items[0][0][2]] * (padded - n)
+                    guidance = (gs[0] if len(set(gs)) == 1
+                                else np.asarray(gs, np.float32))
+                    rescale = (rs[0] if len(set(rs)) == 1
+                               else np.asarray(rs, np.float32))
                     imgs = self.pipe(
                         self.tokenize(prompts), self.tokenize(negatives),
                         height=self.size, width=self.size, num_steps=steps,
@@ -114,6 +127,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8471)
     ap.add_argument("--demo", action="store_true")
+    ap.add_argument("--demo-full", action="store_true",
+                    help="full-size SDXL stack with RANDOM weights: the "
+                         "real serving program (shapes/steps/latency) "
+                         "without checkpoints — for load benchmarks "
+                         "(tools/bench_serve.py)")
     ap.add_argument("--model-dir")
     ap.add_argument("--text-encoder-dir")
     ap.add_argument("--adapter")
@@ -130,10 +148,12 @@ def main(argv=None):
                     help="co-batch up to N concurrent requests into one "
                          "device batch (the measured best v5e operating "
                          "point; 1 = no batching)")
-    ap.add_argument("--quant", default="none", choices=["none", "int8"],
-                    help="int8: PTQ the UNet resnet convs onto the int8 "
-                         "MXU path at startup (quant/int8.py); calibrates "
-                         "on --calib-prompt")
+    ap.add_argument("--quant", default="none",
+                    help="'int8' (= int8:resnet) or 'int8:<scopes>' with "
+                         "scopes from {resnet,shortcut,sampler}: PTQ the "
+                         "in-scope UNet convs onto the int8 MXU path at "
+                         "startup (quant/int8.py); calibrates on "
+                         "--calib-prompt")
     ap.add_argument("--calib-prompt", default="一只戴着帽子的可爱猫咪",
                     help="calibration prompt for --quant int8")
     ap.add_argument("--calib-ranges", metavar="PATH",
@@ -148,10 +168,14 @@ def main(argv=None):
     from ..utils.startup import enable_compile_cache
     enable_compile_cache()
 
-    from .generate import build_demo, build_real
+    from .generate import build_demo, build_demo_full, build_real
     from ..pipelines.text2image import StableDiffusionXLPEAPipeline
 
-    if args.demo:
+    if args.demo_full:
+        models, params, tokenize, size = build_demo_full()
+        size = min(size, args.size)
+        default_steps = args.default_steps
+    elif args.demo:
         models, params, tokenize, size = build_demo()
         default_steps = 6
     else:
@@ -163,11 +187,14 @@ def main(argv=None):
         models, params, tokenize, size = build_real(args)
         default_steps = args.default_steps
 
-    if args.quant == "int8":
+    if args.quant != "none":
         from ..quant import quantize_for_serving
+        from ..quant.int8 import parse_scopes
+        parse_scopes(args.quant)  # validate early: loud on a typo'd scope
         models, params = quantize_for_serving(
             models, params, tokenize([args.calib_prompt]),
-            tokenize([""]), size, ranges_path=args.calib_ranges)
+            tokenize([""]), size, ranges_path=args.calib_ranges,
+            conv_quant=args.quant)
 
     mesh = None
     if args.tp > 1:

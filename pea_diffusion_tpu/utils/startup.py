@@ -83,14 +83,21 @@ class AOTCache:
 
     get_or_export(key, make_exported) returns a jitted callable wrapping
     the deserialized (or freshly exported) program. The jit wrapper makes
-    repeat in-process calls hit the jit cache instead of re-staging."""
+    repeat in-process calls hit the jit cache instead of re-staging.
+
+    With `abstract_args` (ShapeDtypeStructs), the program is COMPILED
+    eagerly from shapes alone — no param values needed — so the
+    multi-minute executable load can run concurrently with the param
+    host->device transfer (device_put_streamed); the compiled object is
+    cached and later real-value calls execute it directly."""
 
     def __init__(self, directory: str):
         self.dir = directory
         self._live: dict = {}
 
     def get_or_export(self, key: str,
-                      make_exported: Callable[[], "jexport.Exported"]):
+                      make_exported: Callable[[], "jexport.Exported"],
+                      abstract_args: Optional[tuple] = None):
         if key in self._live:
             return self._live[key]
         path = os.path.join(self.dir, f"{key}.jaxprog")
@@ -98,6 +105,43 @@ class AOTCache:
         if exported is None:
             exported = make_exported()
             save_program(path, exported)
-        fn = jax.jit(exported.call)
+        if abstract_args is not None:
+            fn = jax.jit(exported.call).lower(*abstract_args).compile()
+        else:
+            fn = jax.jit(exported.call)
         self._live[key] = fn
         return fn
+
+
+def device_put_streamed(tree, device, chunk_leaves: int = 32):
+    """Host->device param transfer on a background thread, chunked per
+    `chunk_leaves` leaves. Start it, then do the OTHER multi-minute
+    cold-start phase (AOTCache.get_or_export with abstract_args — the
+    program/executable load needs only shapes) on the main thread, then
+    `join()` for the placed tree. This overlaps the two dominant serving
+    cold-start phases (BASELINE.md round-4 TTFI table)."""
+    import threading
+
+    leaves, treedef = jax.tree.flatten(tree)
+    out: list = [None] * len(leaves)
+    err: list = []
+
+    def work():
+        try:
+            for i in range(0, len(leaves), chunk_leaves):
+                out[i:i + chunk_leaves] = jax.device_put(
+                    leaves[i:i + chunk_leaves], device)
+        except Exception as e:  # surfaced at join()
+            err.append(e)
+
+    th = threading.Thread(target=work, daemon=True,
+                          name="pea-param-stream")
+    th.start()
+
+    def join():
+        th.join()
+        if err:
+            raise err[0]
+        return jax.tree.unflatten(treedef, out)
+
+    return join

@@ -88,6 +88,32 @@ def test_sdxl_t2i_with_cfg(sdxl_setup):
     assert np.isfinite(np.asarray(img)).all()
 
 
+def test_sdxl_vector_cfg_matches_per_row_scalar(sdxl_setup):
+    """Per-request [B] guidance/rescale (the serving co-batch operands,
+    cli/serve.py) is numerically identical to running each row with its own
+    scalar CFG: batch rows are independent (per-sample norms/attention), so
+    cfg_combine's broadcast is the only difference."""
+    models, params = sdxl_setup
+    ids, uncond = _ids(6)
+    noise = np.random.RandomState(0).standard_normal(
+        (B, 8, 8, 4)).astype(np.float32)
+
+    def run(g, r):
+        return np.asarray(generate_sdxl(
+            models, params, ids, uncond, jax.random.PRNGKey(0),
+            height=64, width=64, num_steps=4, guidance_scale=g,
+            guidance_rescale=r, do_cfg=True, init_noise=noise))
+
+    mixed = run(np.array([3.0, 9.0], np.float32),
+                np.array([0.0, 0.7], np.float32))
+    lo = run(3.0, 0.0)
+    hi = run(9.0, 0.7)
+    np.testing.assert_allclose(mixed[0], lo[0], atol=1e-5)
+    np.testing.assert_allclose(mixed[1], hi[1], atol=1e-5)
+    # and the two CFG strengths actually produce different images
+    assert np.abs(lo[1] - hi[1]).max() > 1e-4
+
+
 def test_sdxl_lcm_no_cfg(sdxl_setup):
     """LCM path: 5 steps, guidance 0 (tests/test_sdxl_zh_lcm.py:334-336)."""
     models, params = sdxl_setup

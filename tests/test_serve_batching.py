@@ -21,6 +21,7 @@ class FakePipe:
         with self.lock:
             self.calls.append({
                 "n": len(ids), "steps": num_steps, "g": guidance_scale,
+                "r": guidance_rescale,
                 "noise": np.asarray(init_noise).copy(),
             })
         # one "image" per row: carry the noise checksum for identity checks
@@ -74,7 +75,7 @@ def test_noise_is_per_request_seed_deterministic():
     assert out2[0][1] != out2[1][1]  # different seeds differ
 
 
-def test_mismatched_params_split_into_calls():
+def test_mismatched_steps_split_into_calls():
     pipe = FakePipe()
     eng = BatchingEngine(pipe, _tok, size=64, max_batch=8, window_ms=300)
     reqs = [("a", "", 4, 7.5, 0.0, 0), ("b", "", 8, 7.5, 0.0, 1),
@@ -84,6 +85,39 @@ def test_mismatched_params_split_into_calls():
     assert len(pipe.calls) == 2  # steps=4 pair cobatched, steps=8 alone
     sizes = sorted(c["n"] for c in pipe.calls)
     assert sizes == [1, 2]
+
+
+def test_mixed_guidance_cobatches_as_vector():
+    """Requests differing ONLY in guidance/rescale land in ONE device call
+    with per-request [B] CFG operands (VERDICT r3 item 4)."""
+    pipe = FakePipe()
+    eng = BatchingEngine(pipe, _tok, size=64, max_batch=8, window_ms=300)
+    reqs = [("a", "", 4, 7.5, 0.0, 0), ("b", "", 4, 5.0, 0.7, 1),
+            ("c", "", 4, 9.0, 0.0, 2)]
+    out, errs = _submit_many(eng, reqs)
+    assert errs == [None] * 3 and all(o is not None for o in out)
+    assert len(pipe.calls) == 1
+    call = pipe.calls[0]
+    assert call["n"] == 4  # 3 requests pad to 4 rows
+    g = np.asarray(call["g"])
+    assert g.shape == (4,)
+    # pad row reuses row 0's CFG (so do_cfg derivation is unaffected)
+    np.testing.assert_allclose(g, [7.5, 5.0, 9.0, 7.5], rtol=1e-6)
+    r = np.asarray(call["r"])
+    np.testing.assert_allclose(r, [0.0, 0.7, 0.0, 0.0], rtol=1e-6)
+
+
+def test_uniform_guidance_stays_scalar():
+    """A uniform-CFG group passes SCALAR guidance so AOT-exported programs
+    (which pin scalar CFG operands) stay usable for the common case."""
+    pipe = FakePipe()
+    eng = BatchingEngine(pipe, _tok, size=64, max_batch=8, window_ms=300)
+    out, errs = _submit_many(
+        eng, [("a", "", 4, 7.5, 0.0, 0), ("b", "", 4, 7.5, 0.0, 1)])
+    assert errs == [None, None]
+    assert len(pipe.calls) == 1
+    assert np.asarray(pipe.calls[0]["g"]).ndim == 0
+    assert np.asarray(pipe.calls[0]["r"]).ndim == 0
 
 
 def test_error_propagates_to_all_cobatched():
