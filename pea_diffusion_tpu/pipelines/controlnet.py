@@ -178,14 +178,23 @@ def _canny_numpy(image: np.ndarray, low: float, high: float) -> np.ndarray:
 
     strong = nms >= high
     weak = nms >= low
-    # hysteresis: grow strong edges through weak pixels to a fixpoint
-    while True:
-        sp = np.pad(strong, 1)
-        grown = weak & (
-            sp[:-2, :-2] | sp[:-2, 1:-1] | sp[:-2, 2:] | sp[1:-1, :-2]
-            | sp[1:-1, 2:] | sp[2:, :-2] | sp[2:, 1:-1] | sp[2:, 2:])
-        new = strong | grown
-        if (new == strong).all():
-            break
-        strong = new
+    # hysteresis: keep weak pixels 8-connected to a strong one. scipy's
+    # connected-component labeling is exact and O(H*W); the pure-numpy
+    # fallback grows one ring per pass, so it is bounded (a pass per pixel
+    # of chain length would cost seconds at 1024² on long weak chains).
+    try:
+        from scipy import ndimage
+        labels, _ = ndimage.label(weak, structure=np.ones((3, 3), np.int8))
+        keep_ids = np.unique(labels[strong])
+        strong = weak & np.isin(labels, keep_ids[keep_ids > 0])
+    except ImportError:
+        for _ in range(128):
+            sp = np.pad(strong, 1)
+            grown = weak & (
+                sp[:-2, :-2] | sp[:-2, 1:-1] | sp[:-2, 2:] | sp[1:-1, :-2]
+                | sp[1:-1, 2:] | sp[2:, :-2] | sp[2:, 1:-1] | sp[2:, 2:])
+            new = strong | grown
+            if (new == strong).all():
+                break
+            strong = new
     return (strong * 255).astype(np.uint8)

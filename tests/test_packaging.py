@@ -7,7 +7,11 @@ tar-reader loader honors its documented search path.
 """
 import importlib
 import os
-import tomllib
+
+try:
+    import tomllib  # stdlib on 3.11+
+except ImportError:  # pyproject declares requires-python >= 3.10
+    import tomli as tomllib
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
