@@ -51,8 +51,8 @@ def main():
                     help="sd15 = 512^2 SD1.5 stack (BASELINE config 1)")
     ap.add_argument("--quant", default="none",
                     help="'int8' or 'int8:<scopes>' (resnet,shortcut,"
-                         "sampler): serve the in-scope UNet convs on the "
-                         "int8 MXU path (quant/int8.py). Throughput is "
+                         "sampler,stem,vae): serve the in-scope convs on "
+                         "the int8 MXU path (quant/int8.py). Throughput is "
                          "value-independent, so the bench skips calibration "
                          "(scales default); quality numerics are covered by "
                          "tests/test_quant_int8.py and cli.generate --quant")
@@ -124,17 +124,30 @@ def main():
         import dataclasses
 
         from pea_diffusion_tpu.quant import quantize_unet_params
-        from pea_diffusion_tpu.quant.int8 import parse_scopes
+        from pea_diffusion_tpu.quant.int8 import (
+            VAE_DECODER_CONV_QUANT, parse_scopes,
+            quantize_vae_decoder_params)
         scopes = parse_scopes(args.quant)
-        phase(f"quantize unet -> {args.quant}")
+        unet_scopes = scopes - {"vae"}
+        phase(f"quantize -> {args.quant}")
         params = dict(params)
-        params["unet"] = jax.jit(
-            lambda p: quantize_unet_params(p, None, default_amax=4.0,
-                                           scopes=scopes)
-        )(params["unet"])
-        models = dataclasses.replace(
-            models,
-            unet=dataclasses.replace(models.unet, conv_quant=args.quant))
+        new_unet, new_vae = models.unet, models.vae
+        if unet_scopes:
+            params["unet"] = jax.jit(
+                lambda p: quantize_unet_params(p, None, default_amax=4.0,
+                                               scopes=unet_scopes)
+            )(params["unet"])
+            new_unet = dataclasses.replace(
+                models.unet,
+                conv_quant="int8:" + ",".join(sorted(unet_scopes)))
+        if "vae" in scopes:
+            params["vae"] = jax.jit(
+                lambda p: quantize_vae_decoder_params(p, None,
+                                                      default_amax=8.0)
+            )(params["vae"])
+            new_vae = dataclasses.replace(
+                models.vae, conv_quant=VAE_DECODER_CONV_QUANT)
+        models = dataclasses.replace(models, unet=new_unet, vae=new_vae)
 
     T = 52  # Chinese-CLIP context length
     gen = generate_sd if args.model == "sd15" and not args.quick else generate_sdxl

@@ -272,7 +272,7 @@ def main(argv=None):
                     help="disable the persistent XLA compile cache")
     ap.add_argument("--quant", default="none",
                     help="'int8' (= int8:resnet) or 'int8:<scopes>' with "
-                         "scopes from {resnet,shortcut,sampler}: PTQ the "
+                         "scopes from {resnet,shortcut,sampler,stem,vae}: PTQ the "
                          "in-scope UNet convs onto the int8 MXU path "
                          "(quant/int8.py) — calibrates on the prompt's "
                          "conditioning at a spread of timesteps, then "

@@ -150,7 +150,7 @@ def main(argv=None):
                          "point; 1 = no batching)")
     ap.add_argument("--quant", default="none",
                     help="'int8' (= int8:resnet) or 'int8:<scopes>' with "
-                         "scopes from {resnet,shortcut,sampler}: PTQ the "
+                         "scopes from {resnet,shortcut,sampler,stem,vae}: PTQ the "
                          "in-scope UNet convs onto the int8 MXU path at "
                          "startup (quant/int8.py); calibrates on "
                          "--calib-prompt")

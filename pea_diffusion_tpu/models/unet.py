@@ -96,7 +96,7 @@ class UNet2DCondition(nn.Module):
 
         # --- down path --------------------------------------------------------
         from ..quant.int8 import parse_scopes
-        if "sampler" in parse_scopes(self.conv_quant):
+        if "stem" in parse_scopes(self.conv_quant):
             from ..quant.int8 import QConvInt8
             conv_in = QConvInt8(c0, (3, 3), name="conv_in")
         else:

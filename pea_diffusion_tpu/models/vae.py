@@ -20,11 +20,12 @@ class VAEMidBlock(nn.Module):
     channels: int
     norm_num_groups: int
     dtype: jnp.dtype = jnp.float32
+    conv_quant: str = "none"
 
     @nn.compact
     def __call__(self, h):
         h = ResnetBlock2D(self.channels, self.norm_num_groups, dtype=self.dtype,
-                          name="resnet_0")(h)
+                          conv_quant=self.conv_quant, name="resnet_0")(h)
         # single-head full attention over HW tokens (GN eps 1e-6)
         b, hh, ww, c = h.shape
         res = h
@@ -34,7 +35,7 @@ class VAEMidBlock(nn.Module):
                                qkv_bias=True, name="attn")(x)
         h = res + x.reshape(b, hh, ww, c)
         return ResnetBlock2D(self.channels, self.norm_num_groups, dtype=self.dtype,
-                             name="resnet_1")(h)
+                             conv_quant=self.conv_quant, name="resnet_1")(h)
 
 
 class Encoder(nn.Module):
@@ -61,8 +62,14 @@ class Encoder(nn.Module):
 
 
 class Decoder(nn.Module):
+    """conv_quant ("int8:<scopes>", quant/int8.py) puts the decoder's
+    resnet/upsample convs on the int8 MXU path — the serving "vae" scope
+    (measured 1.13x-1.71x at decode shapes, BASELINE.md round 4). conv_in
+    (cin=4, measured negative), conv_out and the mid attention stay
+    float."""
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
+    conv_quant: str = "none"
 
     @nn.compact
     def __call__(self, z):
@@ -70,13 +77,16 @@ class Decoder(nn.Module):
         rev = tuple(reversed(cfg.block_out_channels))
         h = nn.Conv(rev[0], (3, 3), padding=1, dtype=self.dtype,
                     name="conv_in")(z)
-        h = VAEMidBlock(rev[0], cfg.norm_num_groups, self.dtype, name="mid")(h)
+        h = VAEMidBlock(rev[0], cfg.norm_num_groups, self.dtype,
+                        conv_quant=self.conv_quant, name="mid")(h)
         for i, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
                 h = ResnetBlock2D(ch, cfg.norm_num_groups, dtype=self.dtype,
+                                  conv_quant=self.conv_quant,
                                   name=f"up_{i}_resnet_{j}")(h)
             if i < len(rev) - 1:
-                h = Upsample2D(ch, self.dtype, name=f"up_{i}_upsample")(h)
+                h = Upsample2D(ch, self.dtype, conv_quant=self.conv_quant,
+                               name=f"up_{i}_upsample")(h)
         h = GroupNorm(cfg.norm_num_groups, 1e-6, name="conv_norm_out")(h)
         h = nn.silu(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=self.dtype,
@@ -86,10 +96,13 @@ class Decoder(nn.Module):
 class AutoencoderKL(nn.Module):
     config: VAEConfig
     dtype: jnp.dtype = jnp.float32
+    conv_quant: str = "none"  # decoder-only (the serving path); encoder
+    # always stays float — KD training encodes in fp32 (module doc)
 
     def setup(self):
         self.encoder = Encoder(self.config, self.dtype)
-        self.decoder = Decoder(self.config, self.dtype)
+        self.decoder = Decoder(self.config, self.dtype,
+                               conv_quant=self.conv_quant)
         self.quant_conv = nn.Conv(2 * self.config.latent_channels, (1, 1),
                                   dtype=self.dtype)
         self.post_quant_conv = nn.Conv(self.config.latent_channels, (1, 1),

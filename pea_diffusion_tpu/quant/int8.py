@@ -21,16 +21,26 @@ Scheme (standard PTQ, Q-Diffusion-style granularity):
   epilogue — no extra reduction pass over the activation (which would eat
   the int8 win on this bandwidth-bound step).
 - scope: `conv_quant` is "none", "int8" (= "int8:resnet"), or
-  "int8:<scopes>" with scopes from {resnet, shortcut, sampler}:
+  "int8:<scopes>" with scopes from {resnet, shortcut, sampler, stem, vae}:
     resnet   — the resnet conv1/conv2 3x3s (bulk of conv FLOPs; default)
-    shortcut — the resnet 1x1 channel-matching convs
-    sampler  — Downsample/Upsample 3x3s + conv_in (the stem)
-  Each extension is gated by its own microbench (tools/bench_int8.py) and
-  e2e row in BASELINE.md. conv_out always stays float (the 4-channel
-  output head sets image quality); attention and the VAE stay bf16 —
-  int8 GEMM measured SLOWER than bf16 at SDXL shapes on this chip
-  (tools/bench_int8.py — the MXU int8 conv path wins, the int8 matmul
-  path does not).
+    shortcut — the resnet 1x1 channel-matching convs (neutral alone in
+               the microbench — 1.02x/0.87x/1.19x — kept for the halved
+               HBM reads)
+    sampler  — Downsample/Upsample 3x3s (upsample measured 1.87x)
+    stem     — conv_in. Measured 0.08x (cin=4: the conv is MXU-starved
+               and the activation-quantize pass dominates) — available
+               for completeness, documented NEGATIVE, never default.
+    vae      — the VAE DECODER convs (resnets + upsamplers; its conv_in/
+               conv_out/attention stay float). Measured 1.13x-1.71x at
+               the b1-1024/b8-256 decode shapes. Model-level scope:
+               handled by quantize_vae_decoder_params + the Decoder's
+               own conv_quant, not by per-path rules on the UNet tree.
+  Each extension is gated by its own microbench (tools/bench_int8.py
+  --ext) and e2e row in BASELINE.md round 4. conv_out always stays float
+  (the output head sets image quality); attention and all GEMMs stay
+  bf16 — int8 GEMM measured SLOWER than bf16 at SDXL shapes on this chip
+  (0.69x projection GEMM; 0.11x/0.59x QK^T at b8 self-attn shapes —
+  the MXU int8 conv path wins, the int8 matmul path does not).
 
 The quantized model is the SAME flax module tree with `conv_quant="int8"`
 (models/unet.py) — only the conv param leaves change:
@@ -48,7 +58,12 @@ import flax.linen as nn
 
 _EPS = 1e-8
 
-SCOPES = ("resnet", "shortcut", "sampler")
+SCOPES = ("resnet", "shortcut", "sampler", "stem", "vae")
+
+# sub-scopes applied to the VAE decoder tree under the "vae" scope (its
+# conv_in [cin=4] and conv_out stay float — same reasoning as the UNet's)
+VAE_DECODER_SCOPES = frozenset({"resnet", "shortcut", "sampler"})
+VAE_DECODER_CONV_QUANT = "int8:resnet,sampler,shortcut"
 
 
 def parse_scopes(conv_quant: str) -> frozenset:
@@ -138,8 +153,8 @@ def _is_target_conv(path: Tuple[str, ...],
         if leaf == "conv" and ("downsample" in parent or
                                "upsample" in parent):
             return True
-        if leaf == "conv_in":
-            return True
+    if "stem" in scopes and leaf == "conv_in":
+        return True
     return False
 
 
@@ -226,6 +241,54 @@ def calibrate_sdxl(models, params, ids, uncond_ids, size: int,
                                  scopes)
 
 
+def calibrate_vae_decoder(vae, vae_params, z_batches: Sequence[jnp.ndarray]
+                          ) -> Dict[str, float]:
+    """Calibrate the VAE DECODER's in-scope convs (the "vae" serving
+    scope): run the float decoder over representative post-scaling
+    latents `z` (i.e. already divided by vae_scaling, exactly what
+    pipelines.text2image.decode_latents feeds `vae.decode`) and return
+    {"up_0_resnet_1/conv1": max|input|, ...} keyed module-relative like
+    calibrate_conv_ranges. Encoder convs never appear (decode doesn't run
+    them)."""
+    scopes = VAE_DECODER_SCOPES
+
+    def one_batch(p, z):
+        records: Dict[str, jnp.ndarray] = {}
+
+        def interceptor(next_fn, fargs, fkwargs, context):
+            m = context.module
+            if isinstance(m, nn.Conv) and _is_target_conv(m.path, scopes):
+                records[_range_key(m.path)] = jnp.max(
+                    jnp.abs(fargs[0].astype(jnp.float32)))
+            return next_fn(*fargs, **fkwargs)
+
+        with nn.intercept_methods(interceptor):
+            vae.apply(p, z, method=vae.decode)
+        return records
+
+    jitted = jax.jit(one_batch)
+    out: Dict[str, jnp.ndarray] = {}
+    for z in z_batches:
+        out = merge_ranges(out, jax.device_get(jitted(vae_params, z)))
+    if not out:
+        raise ValueError("VAE decoder calibration saw no in-scope convs")
+    return {k: float(v) for k, v in out.items()}
+
+
+def quantize_vae_decoder_params(float_params,
+                                ranges: Optional[Dict[str, float]],
+                                default_amax: float = 1.0):
+    """AutoencoderKL float variables -> decoder convs in QConvInt8 layout
+    (VAE_DECODER_SCOPES); encoder/quant_conv/post_quant_conv untouched."""
+    tree = dict(float_params)
+    col = dict(tree["params"])
+    col["decoder"] = quantize_unet_params(
+        {"params": col["decoder"]}, ranges, default_amax,
+        scopes=VAE_DECODER_SCOPES)["params"]
+    tree["params"] = col
+    return tree
+
+
 def save_ranges(path: str, ranges: Dict[str, float]) -> None:
     """Persist calibration ranges (tiny JSON) so serving restarts skip the
     calibration forward passes."""
@@ -260,20 +323,52 @@ def quantize_for_serving(models, params, ids, uncond_ids, size: int,
 
     scopes = parse_scopes(conv_quant)
     assert scopes, conv_quant
+    unet_scopes = scopes - {"vae"}
+    quant_vae = "vae" in scopes
     if ranges_path and os.path.exists(ranges_path):
-        ranges = load_ranges(ranges_path)
+        saved = load_ranges(ranges_path)
+        ranges = {k: v for k, v in saved.items()
+                  if not k.startswith("vae::")}
+        vae_ranges = {k[len("vae::"):]: v for k, v in saved.items()
+                      if k.startswith("vae::")}
     else:
-        ranges = calibrate_sdxl(models, params, ids, uncond_ids, size,
-                                scopes=scopes)
+        ranges = (calibrate_sdxl(models, params, ids, uncond_ids, size,
+                                 scopes=unet_scopes)
+                  if unet_scopes else {})
+        vae_ranges = {}
+        if quant_vae:
+            # post-scaling decoder inputs: the pipeline feeds decode
+            # z = latents / vae_scaling with end-of-trajectory latents at
+            # ~unit scale (variance-preserving schedule), so calibrate on
+            # unit gaussians over the scaling factor. For tighter ranges
+            # supply a ranges_path produced offline from real decodes.
+            cin = models.vae.config.latent_channels
+            zs = [jax.random.normal(
+                jax.random.PRNGKey(s),
+                (1, size // 8, size // 8, cin), jnp.float32)
+                / models.vae_scaling for s in range(2)]
+            vae_ranges = calibrate_vae_decoder(models.vae, params["vae"],
+                                               zs)
         if ranges_path:
-            save_ranges(ranges_path, ranges)
+            save_ranges(ranges_path, {
+                **ranges,
+                **{f"vae::{k}": v for k, v in vae_ranges.items()}})
     params = dict(params)
-    params["unet"] = jax.jit(
-        lambda p: quantize_unet_params(p, ranges, scopes=scopes)
-    )(params["unet"])
-    models = dataclasses.replace(
-        models, unet=dataclasses.replace(models.unet,
-                                         conv_quant=conv_quant))
+    new_unet, new_vae = models.unet, models.vae
+    if unet_scopes:
+        params["unet"] = jax.jit(
+            lambda p: quantize_unet_params(p, ranges, scopes=unet_scopes)
+        )(params["unet"])
+        new_unet = dataclasses.replace(
+            models.unet,
+            conv_quant="int8:" + ",".join(sorted(unet_scopes)))
+    if quant_vae:
+        params["vae"] = jax.jit(
+            lambda p: quantize_vae_decoder_params(p, vae_ranges)
+        )(params["vae"])
+        new_vae = dataclasses.replace(
+            models.vae, conv_quant=VAE_DECODER_CONV_QUANT)
+    models = dataclasses.replace(models, unet=new_unet, vae=new_vae)
     return models, params
 
 

@@ -131,7 +131,8 @@ def test_quantize_for_serving_end_to_end():
 
     ref = gen(models, params)
     qmodels, qparams = quantize_for_serving(models, params, ids, uncond, 128)
-    assert qmodels.unet.conv_quant == "int8"
+    from pea_diffusion_tpu.quant import parse_scopes
+    assert parse_scopes(qmodels.unet.conv_quant) == {"resnet"}
     out = gen(qmodels, qparams)
     assert out.shape == ref.shape
     # int8 convs perturb the trajectory; image must stay finite and
@@ -188,7 +189,7 @@ def test_quantize_for_serving_uses_saved_ranges(tmp_path, monkeypatch):
         unet_cfg=ucfg, vae_cfg=VAE_TINY, dtype=jnp.float32)
     qmodels, qparams = q8.quantize_for_serving(
         models, {"unet": params}, None, None, 128, ranges_path=p)
-    assert qmodels.unet.conv_quant == "int8"
+    assert qmodels.unet.conv_quant == "int8:resnet"
     assert qparams["unet"]["params"]["mid_resnet_0"]["conv1"][
         "kernel_q"].dtype == jnp.int8
 
@@ -201,23 +202,30 @@ def test_parse_scopes():
     assert parse_scopes("int8:resnet,shortcut") == {"resnet", "shortcut"}
     assert parse_scopes("int8:resnet,shortcut,sampler") == \
         {"resnet", "shortcut", "sampler"}
+    assert parse_scopes("int8:stem,vae") == {"stem", "vae"}
     with pytest.raises(AssertionError):
         parse_scopes("int8:bogus")
     with pytest.raises(AssertionError):
         parse_scopes("fp8")
 
 
-FULL = "int8:resnet,shortcut,sampler"
-FULL_SCOPES = frozenset({"resnet", "shortcut", "sampler"})
+FULL = "int8:resnet,shortcut,sampler,stem"
+FULL_SCOPES = frozenset({"resnet", "shortcut", "sampler", "stem"})
 
 
 def test_full_scope_calibration_and_coverage():
     """Extended scopes calibrate the shortcut 1x1s, the up/down sampler
-    convs and conv_in (VERDICT r3 item 1b)."""
+    convs and (under "stem") conv_in (VERDICT r3 item 1b; conv_in moved
+    to its own scope after measuring 0.08x — BASELINE.md round 4)."""
     unet, _, params, args = _setup()
     ranges = calibrate_conv_ranges(unet, params, [args],
                                    scopes=FULL_SCOPES)
     assert "conv_in" in ranges
+    # ... but NOT under the sampler scope (stem is opt-in, measured bad)
+    no_stem = calibrate_conv_ranges(
+        unet, params, [args],
+        scopes=frozenset({"resnet", "shortcut", "sampler"}))
+    assert "conv_in" not in no_stem
     assert any(k.endswith("/conv_shortcut") for k in ranges), sorted(ranges)
     assert any("downsample/conv" in k for k in ranges), sorted(ranges)
     assert any("upsample/conv" in k for k in ranges), sorted(ranges)
@@ -315,3 +323,110 @@ def test_quant_sd15_unet():
     rel = (np.linalg.norm(np.asarray(ref - out, np.float64))
            / (np.linalg.norm(np.asarray(ref, np.float64)) + 1e-9))
     assert rel < 0.05, rel
+
+
+def test_vae_decoder_quant():
+    """The "vae" scope (VERDICT r3 item 1b; microbench gate 1.13x-1.71x
+    at decode shapes, BASELINE.md round 4): decoder resnet/upsample convs
+    quantize, encoder/conv_in/conv_out/mid-attn stay float, structure
+    matches the conv_quant decoder's init, numerics stay close."""
+    from pea_diffusion_tpu.configs.unet import VAE_TINY
+    from pea_diffusion_tpu.models.vae import AutoencoderKL
+    from pea_diffusion_tpu.quant import (
+        VAE_DECODER_CONV_QUANT,
+        calibrate_vae_decoder,
+        quantize_vae_decoder_params,
+    )
+
+    vae = AutoencoderKL(VAE_TINY)
+    k = jax.random.split(jax.random.PRNGKey(0), 4)
+    x = jax.random.uniform(k[0], (2, 16, 16, 3)) * 2 - 1
+    params = vae.init(k[1], x, k[2])
+    # post-scaling decoder input (pipelines.decode_latents semantics)
+    z = jax.random.normal(k[3], (2, 8, 8, VAE_TINY.latent_channels)) / 0.13
+
+    ranges = calibrate_vae_decoder(vae, params, [z])
+    assert ranges
+    # decoder-only, no stems/heads, and the upsample conv is in scope
+    assert not any("conv_in" in key or "conv_out" in key for key in ranges)
+    assert not any("encoder" in key for key in ranges)
+    assert any("upsample" in key for key in ranges), sorted(ranges)
+    assert any(key.endswith("/conv_shortcut") for key in ranges)
+
+    qparams = quantize_vae_decoder_params(params, ranges)
+    # encoder + quant convs byte-identical; decoder structure matches the
+    # scoped module's init
+    for leaf_a, leaf_b in zip(
+            jax.tree.leaves(params["params"]["encoder"]),
+            jax.tree.leaves(qparams["params"]["encoder"])):
+        np.testing.assert_array_equal(np.asarray(leaf_a), np.asarray(leaf_b))
+    qvae = AutoencoderKL(VAE_TINY, conv_quant=VAE_DECODER_CONV_QUANT)
+    expect = jax.eval_shape(lambda: qvae.init(jax.random.PRNGKey(0), x, k[2]))
+    got = {jax.tree_util.keystr(p): (l.shape, l.dtype)
+           for p, l in jax.tree_util.tree_leaves_with_path(
+               qparams["params"]["decoder"])}
+    want = {jax.tree_util.keystr(p): (l.shape, l.dtype)
+            for p, l in jax.tree_util.tree_leaves_with_path(
+                expect["params"]["decoder"])}
+    assert got == want
+    n_int8 = sum(1 for _, d in got.values() if d == jnp.int8)
+    assert n_int8 >= 6, n_int8
+
+    ref = jax.jit(lambda p, z: vae.apply(p, z, method=vae.decode))(params, z)
+    out = jax.jit(lambda p, z: qvae.apply(p, z, method=qvae.decode))(qparams, z)
+    a, b = np.asarray(ref, np.float64), np.asarray(out, np.float64)
+    assert np.isfinite(b).all()
+    rel = np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+    assert 1e-7 < rel < 0.08, rel
+
+
+def test_quantize_for_serving_vae_scope(tmp_path):
+    """int8:resnet,vae through the serving entry: UNet resnet convs AND
+    the VAE decoder quantize in one call; the saved ranges file
+    round-trips both namespaces."""
+    import dataclasses
+
+    from pea_diffusion_tpu.configs.adapter import AdapterConfig
+    from pea_diffusion_tpu.configs.text_encoder import BERT_TINY
+    from pea_diffusion_tpu.configs.unet import SDXL_UNET_TINY, VAE_TINY
+    from pea_diffusion_tpu.pipelines.factory import (
+        build_models, init_params_host)
+    from pea_diffusion_tpu.quant import quantize_for_serving
+
+    ucfg = SDXL_UNET_TINY
+    pooled = (ucfg.projection_class_embeddings_input_dim
+              - 6 * ucfg.addition_time_embed_dim)
+    acfg = AdapterConfig(BERT_TINY.hidden_size, (96, pooled),
+                         head_dim=ucfg.cross_attention_dim)
+    models = build_models(family="chinese_clip", text_cfg=BERT_TINY,
+                          adapter_cfg=acfg, unet_cfg=ucfg,
+                          vae_cfg=VAE_TINY, dtype=jnp.float32)
+    params = init_params_host(models, "chinese_clip", BERT_TINY,
+                              seq_len=12)
+    ids = jnp.full((1, 12), 5, jnp.int32)
+    uncond = jnp.full((1, 12), 4, jnp.int32)
+
+    rpath = str(tmp_path / "ranges.json")
+    qmodels, qparams = quantize_for_serving(
+        models, dict(params), ids, uncond, 64, ranges_path=rpath,
+        conv_quant="int8:resnet,vae")
+    assert qmodels.unet.conv_quant == "int8:resnet"
+    assert qmodels.vae.conv_quant != "none"
+    flat_unet = jax.tree_util.tree_leaves(qparams["unet"])
+    assert any(l.dtype == jnp.int8 for l in flat_unet)
+    flat_dec = jax.tree_util.tree_leaves(qparams["vae"]["params"]["decoder"])
+    assert any(l.dtype == jnp.int8 for l in flat_dec)
+    flat_enc = jax.tree_util.tree_leaves(qparams["vae"]["params"]["encoder"])
+    assert not any(l.dtype == jnp.int8 for l in flat_enc)
+
+    # saved file covers both namespaces and reloads identically
+    from pea_diffusion_tpu.quant import load_ranges
+    saved = load_ranges(rpath)
+    assert any(k.startswith("vae::") for k in saved)
+    assert any(not k.startswith("vae::") for k in saved)
+    qmodels2, qparams2 = quantize_for_serving(
+        models, dict(params), ids, uncond, 64, ranges_path=rpath,
+        conv_quant="int8:resnet,vae")
+    for a, b in zip(jax.tree.leaves(qparams["vae"]),
+                    jax.tree.leaves(qparams2["vae"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
