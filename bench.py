@@ -150,8 +150,18 @@ def main():
         models = dataclasses.replace(models, unet=new_unet, vae=new_vae)
 
     T = 52  # Chinese-CLIP context length
-    gen = generate_sd if args.model == "sd15" and not args.quick else generate_sdxl
+    use_sd15 = args.model == "sd15" and not args.quick
+    gen = generate_sd if use_sd15 else generate_sdxl
     is_full_sdxl = args.model == "sdxl" and not args.quick and size == 1024
+    gen_kwargs = {}
+    if not use_sd15 and args.quant != "none" and "vae" in args.quant:
+        # the combined 30-step-loop + int8-decode program crashes this
+        # relay's server-side compiler; the two halves each compile
+        # (generate_sdxl docstring) — timing includes both programs.
+        # chunk=2: the quantize step's extra activation copies OOM the
+        # one-shot b8 1024^2 decode (measured RESOURCE_EXHAUSTED)
+        gen_kwargs["split_decode"] = True
+        gen_kwargs["decode_chunk"] = 2
 
     def measure_batch(B):
         """Compile + time one batch size; returns a result dict."""
@@ -164,7 +174,7 @@ def main():
                       jax.random.PRNGKey(seed),
                       sampler_name=args.sampler, height=size,
                       width=size, num_steps=args.steps,
-                      guidance_scale=7.5)
+                      guidance_scale=7.5, **gen_kwargs)
             # force full execution + host sync: on the axon relay platform
             # block_until_ready() returns before execution completes, so an
             # honest timer must pull a value to the host.

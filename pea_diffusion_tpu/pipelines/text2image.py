@@ -121,9 +121,23 @@ def cfg_combine(eps_pair, guidance_scale, guidance_rescale=None):
     return eps
 
 
-def decode_latents(models: PEAModels, vae_params, latents: jnp.ndarray) -> jnp.ndarray:
+def decode_latents(models: PEAModels, vae_params, latents: jnp.ndarray,
+                   chunk: int = 0) -> jnp.ndarray:
     """fp32 VAE decode -> images in [0,1], NHWC (the reference's fp16-vae
-    upcast dance, tests/test_sdxl_zh.py:412-427, is structural here)."""
+    upcast dance, tests/test_sdxl_zh.py:412-427, is structural here).
+
+    `chunk` > 0 decodes the batch `chunk` rows at a time via `lax.map`
+    (a compiled sequential loop — one program, peak activation memory
+    divided by B/chunk). Rows are independent through the decoder, so the
+    result is bitwise the per-chunk decode; the int8 "vae" scope needs it
+    at b8 1024² where the quantize step's bf16+int8 activation copies
+    push the one-shot decode past HBM."""
+    b = latents.shape[0]
+    if 0 < chunk < b and b % chunk == 0:
+        zs = latents.reshape(b // chunk, chunk, *latents.shape[1:])
+        imgs = jax.lax.map(
+            lambda z: decode_latents(models, vae_params, z), zs)
+        return imgs.reshape(b, *imgs.shape[2:])
     z = latents.astype(jnp.float32) / models.vae_scaling
     img = models.vae.apply(vae_params, z, method=models.vae.decode)
     return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
@@ -211,7 +225,7 @@ def generate_sdxl(models: PEAModels, params: Params, ids, uncond_ids, rng, *,
                   guidance_scale=7.5, guidance_rescale=0.0,
                   original_size=None, crops_coords_top_left=(0, 0),
                   target_size=None, do_cfg=None, denoising_end=None,
-                  init_noise=None):
+                  init_noise=None, split_decode=False, decode_chunk=0):
     """Thin host wrapper: derives the static `do_cfg` branch from a concrete
     guidance value, then calls the jitted body with guidance_scale /
     guidance_rescale as TRACED operands — serving a new CFG value reuses the
@@ -220,13 +234,21 @@ def generate_sdxl(models: PEAModels, params: Params, ids, uncond_ids, rng, *,
     Pass `do_cfg` explicitly when feeding a traced guidance_scale.
     `init_noise` [B,H/8,W/8,4] overrides the rng-drawn initial latents —
     request-batched serving uses it so each co-batched request keeps its
-    own seed's noise row (cli/serve.py)."""
+    own seed's noise row (cli/serve.py).
+
+    `split_decode=True` compiles the denoise loop and the VAE decode as
+    TWO programs instead of one. Numerically identical (the latents cross
+    programs as the same on-device array); used by the int8 "vae" scope
+    at full size — the combined 30-step-loop + int8-decode program crashes
+    this relay's server-side compiler while the two halves each compile —
+    and available generally (a split decode can pipeline against the next
+    request's denoise in serving)."""
     if do_cfg is None:
         # max over a vector: a mixed batch runs the CFG program (per-row
         # scale<=1 is still exact — scale 1 selects eps_t); all-<=1 takes
         # the conditional-only fast path
         do_cfg = bool(np.max(np.asarray(guidance_scale)) > 1.0)
-    return _generate_sdxl_jit(
+    out = _generate_sdxl_jit(
         models, params, ids, uncond_ids, rng,
         jnp.asarray(guidance_scale, jnp.float32),
         jnp.asarray(guidance_rescale, jnp.float32),
@@ -235,20 +257,26 @@ def generate_sdxl(models: PEAModels, params: Params, ids, uncond_ids, rng, *,
         sampler_name=sampler_name, height=height, width=width,
         num_steps=num_steps, do_cfg=bool(do_cfg),
         original_size=original_size,
-        crops_coords_top_left=crops_coords_top_left, target_size=target_size)
+        crops_coords_top_left=crops_coords_top_left, target_size=target_size,
+        return_latents=split_decode and denoising_end is None)
+    if split_decode and denoising_end is None:
+        out = decode_latents_jit(models, params["vae"], out,
+                                 chunk=decode_chunk)
+    return out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("models", "sampler_name", "height", "width", "num_steps",
                      "do_cfg", "original_size", "crops_coords_top_left",
-                     "target_size"),
+                     "target_size", "return_latents"),
 )
 def _generate_sdxl_jit(models: PEAModels, params: Params, ids, uncond_ids,
                        rng, guidance_scale, guidance_rescale, denoising_end,
                        init_noise, *,
                        sampler_name, height, width, num_steps, do_cfg,
-                       original_size, crops_coords_top_left, target_size):
+                       original_size, crops_coords_top_left, target_size,
+                       return_latents=False):
     context, pooled = encode_prompt_sdxl(models, params, ids, uncond_ids)
     b = ids_batch_size(ids)
     if not do_cfg:  # LCM / turbo few-step path: conditional half only
@@ -283,9 +311,14 @@ def _generate_sdxl_jit(models: PEAModels, params: Params, ids, uncond_ids,
         end = jnp.sum((sampler.timesteps >= cutoff).astype(jnp.int32))
     latents = denoise_loop(eps_fn, sampler, noise,
                            rng=jax.random.fold_in(rng, 1), end=end)
-    if denoising_end is not None:  # hand the trajectory to the refiner stage
+    if denoising_end is not None or return_latents:
+        # hand the trajectory to the refiner stage / the split decode
         return latents
     return decode_latents(models, params["vae"], latents)
+
+
+decode_latents_jit = jax.jit(decode_latents,
+                             static_argnames=("models", "chunk"))
 
 
 def refine_sdxl(models: PEAModels, params: Params, ids, uncond_ids, latents,

@@ -114,6 +114,27 @@ def test_sdxl_vector_cfg_matches_per_row_scalar(sdxl_setup):
     assert np.abs(lo[1] - hi[1]).max() > 1e-4
 
 
+def test_sdxl_split_decode_matches_fused(sdxl_setup):
+    """split_decode compiles denoise + VAE decode as two programs (the
+    int8 "vae"-scope serving mode and the serving-pipelining hook); the
+    image must be identical to the one-program path, chunked or not."""
+    models, params = sdxl_setup
+    ids, uncond = _ids(3)
+    kw = dict(sampler_name="ddim", height=64, width=64, num_steps=3,
+              guidance_scale=7.5)
+    ref = np.asarray(generate_sdxl(models, params, ids, uncond,
+                                   jax.random.PRNGKey(0), **kw))
+    split = np.asarray(generate_sdxl(models, params, ids, uncond,
+                                     jax.random.PRNGKey(0),
+                                     split_decode=True, **kw))
+    chunked = np.asarray(generate_sdxl(models, params, ids, uncond,
+                                       jax.random.PRNGKey(0),
+                                       split_decode=True, decode_chunk=1,
+                                       **kw))
+    np.testing.assert_array_equal(split, ref)
+    np.testing.assert_allclose(chunked, ref, atol=1e-6)
+
+
 def test_sdxl_lcm_no_cfg(sdxl_setup):
     """LCM path: 5 steps, guidance 0 (tests/test_sdxl_zh_lcm.py:334-336)."""
     models, params = sdxl_setup
