@@ -66,10 +66,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
     def _finish():
         o_ref[0] = (acc_ref[:] / l_ref[:, 0:1]).astype(o_ref.dtype)
         if with_lse:
-            # (bq, 8) lanes: TPU blocks need sublane/lane divisibility, so
-            # the per-row scalar is replicated across 8 lanes
+            # lse is stored [BH, 8, Sq] with Sq in LANES: the (8, Sq) tail
+            # tiles T(8,128) exactly, so the buffer is 6.5MB at mb10 train
+            # shapes where the old [BH, Sq, 8] layout (8 lanes padded to
+            # 128) was 100MB. One [bq,1]->[1,bq] transpose per q-block.
             lse = m_ref[:, 0:1] + jnp.log(l_ref[:, 0:1])
-            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+            lse_ref[0] = jnp.broadcast_to(
+                jnp.transpose(lse, (1, 0)), lse_ref.shape[1:])
 
 
 def _round_up(x: int, m: int) -> int:
@@ -120,11 +123,11 @@ def _flash_forward_impl(q, k, v, scale=None, block_q=256, block_k=1024,
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, d_p), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_q, 8), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda b, qi, ki: (b, 0, qi)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, sq_p, d_p), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq_p, 8), jnp.float32),
+            jax.ShapeDtypeStruct((bh, 8, sq_p), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),  # m
@@ -143,7 +146,7 @@ def _flash_forward_impl(q, k, v, scale=None, block_q=256, block_k=1024,
     )(q, k, v)
     out = out[:, :sq, :d]
     if with_lse:
-        return out, lse[:, :sq, 0]
+        return out, lse[:, 0, :sq]
     return out
 
 
@@ -164,8 +167,10 @@ def _bwd_dkdv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     q = q_ref[0]              # [bq, d]
     k = k_ref[0]              # [bk, d]
     do = do_ref[0]            # [bq, d]
-    lse = lse_ref[0, :, 0:1]      # [bq, 1]
-    delta = delta_ref[0, :, 0:1]  # [bq, 1]
+    # lse/delta ride [BH, 8, Sq] row-layout (see _fwd_kernel): take one
+    # sublane row, transpose to the [bq, 1] column the q-row math needs
+    lse = jnp.transpose(lse_ref[0, 0:1, :], (1, 0))
+    delta = jnp.transpose(delta_ref[0, 0:1, :], (1, 0))
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -207,8 +212,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     q = q_ref[0]
     k = k_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0, :, 0:1]
-    delta = delta_ref[0, :, 0:1]
+    lse = jnp.transpose(lse_ref[0, 0:1, :], (1, 0))
+    delta = jnp.transpose(delta_ref[0, 0:1, :], (1, 0))
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -243,16 +248,18 @@ def _flash_backward_impl(q, k, v, out, lse, g, scale, block_q=256,
     _, sq_p, d_p = q.shape
     skv_p = k.shape[1]
     g = jnp.pad(g, ((0, 0), (0, sq_p - sq), (0, d_p - d)))
+    # lse/delta ride [BH, 8, Sq_p]: Sq in lanes tiles exactly (the old
+    # [BH, Sq, 8] operands materialized 16x-padded T(8,128) buffers)
     lse = jnp.pad(lse, ((0, 0), (0, sq_p - sq)))
     delta = jnp.pad(delta, ((0, 0), (0, sq_p - sq)))
-    lse = jnp.broadcast_to(lse[..., None], lse.shape + (8,))
-    delta = jnp.broadcast_to(delta[..., None], delta.shape + (8,))
+    lse = jnp.broadcast_to(lse[:, None, :], (bh, 8, sq_p))
+    delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, sq_p))
 
     nq, nk = sq_p // block_q, skv_p // block_k
 
     qspec = pl.BlockSpec((1, block_q, d_p), lambda b, ki, qi: (b, qi, 0))
     kspec = pl.BlockSpec((1, block_k, d_p), lambda b, ki, qi: (b, ki, 0))
-    rowspec = pl.BlockSpec((1, block_q, 8), lambda b, ki, qi: (b, qi, 0))
+    rowspec = pl.BlockSpec((1, 8, block_q), lambda b, ki, qi: (b, 0, qi))
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, scale=scale, kv_len=skv,
                           block_k=block_k),
@@ -278,7 +285,7 @@ def _flash_backward_impl(q, k, v, out, lse, g, scale, block_q=256,
 
     q2 = pl.BlockSpec((1, block_q, d_p), lambda b, qi, ki: (b, qi, 0))
     k2 = pl.BlockSpec((1, block_k, d_p), lambda b, qi, ki: (b, ki, 0))
-    row2 = pl.BlockSpec((1, block_q, 8), lambda b, qi, ki: (b, qi, 0))
+    row2 = pl.BlockSpec((1, 8, block_q), lambda b, qi, ki: (b, 0, qi))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=skv,
                           block_k=block_k),

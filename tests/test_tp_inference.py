@@ -182,6 +182,125 @@ def test_tp_spec_covers_quant_leaves():
                         (), 2) == P()
 
 
+def _collective_counts(compiled) -> dict:
+    """Count collective ops in compiled (post-SPMD-partitioner) HLO.
+
+    Matches both sync (`all-reduce(`) and async-start (`all-reduce-start(`)
+    forms; `-done` ops are not double-counted."""
+    import re
+    txt = compiled.as_text()
+    out = {}
+    for op in ("all-reduce", "all-gather", "reduce-scatter",
+               "collective-permute", "all-to-all"):
+        out[op] = len(re.findall(
+            rf"= \S+ {op}(?:-start)?\(", txt))
+    return out
+
+
+def test_tp_attention_is_collective_free_inside():
+    """VERDICT r3 item 7: the claim at parallel/tp.py — per-head attention
+    math fully local, ONE psum after the row-sharded to_out — asserted on
+    the compiled HLO, so a rule regression that silently all-gathers
+    q/k/v fails here rather than shipping as a silent 2x latency tax."""
+    from pea_diffusion_tpu.models.layers import MultiHeadAttention
+
+    attn = MultiHeadAttention(num_heads=4, head_dim=16,
+                              dtype=jnp.float32, backend="xla")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 64))
+    params = attn.init(jax.random.PRNGKey(1), x)
+
+    mesh = tp.make_tp_mesh((1, 2), devices=jax.devices()[:2])
+    shardings = tp.tp_unet_sharding(params, mesh)
+    params_sh = jax.device_put(params, shardings)
+    with jax.set_mesh(mesh):
+        compiled = jax.jit(attn.apply).lower(params_sh, x).compile()
+    counts = _collective_counts(compiled)
+    # exactly ONE reduce (after to_out), NOTHING else — q/k/v projections
+    # are column-sharded, per-head math local (tp=2 divides 4 heads)
+    assert counts["all-reduce"] == 1, counts
+    for op in ("all-gather", "reduce-scatter", "collective-permute",
+               "all-to-all"):
+        assert counts[op] == 0, counts
+
+
+def test_tp_transformer_collective_cadence():
+    """The per-block reduce cadence on compiled HLO: a Transformer2D of
+    depth 2 must lower to exactly (3 per block: attn1.to_out, attn2.to_out,
+    ff.proj_out) + 1 (module proj_out) all-reduces and no gathers in the
+    token-space math (the module ships sharded channel activations, so the
+    only permissible gather is at the sharded GroupNorm/proj_in boundary)."""
+    from pea_diffusion_tpu.models.layers import Transformer2D
+
+    depth = 2
+    mod = Transformer2D(num_heads=4, head_dim=16, depth=depth,
+                        norm_num_groups=8, use_linear_projection=True,
+                        dtype=jnp.float32, backend="xla")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 64))
+    params = mod.init(jax.random.PRNGKey(2), x, ctx)
+
+    mesh = tp.make_tp_mesh((1, 2), devices=jax.devices()[:2])
+    params_sh = jax.device_put(params, tp.tp_unet_sharding(params, mesh))
+    with jax.set_mesh(mesh):
+        compiled = jax.jit(mod.apply).lower(params_sh, x, ctx).compile()
+    counts = _collective_counts(compiled)
+    assert counts["all-reduce"] == 3 * depth + 1, counts
+
+
+def test_tp_unet_collective_budget():
+    """Whole-UNet collective budget on compiled HLO (tp=2). The reduce
+    count is derived from the architecture — 3 per transformer block +
+    1 per Transformer2D proj_out — so any sharding-rule regression that
+    inserts extra reduces or turns the attention math into all-gathers
+    fails loudly. Gathers are permitted only for the conv/GroupNorm
+    channel boundary (bounded below)."""
+    unet, params, (latents, t, context, added) = _tiny_unet_setup()
+    cfg = unet.config
+    # transformer blocks / modules per SDXL_UNET_TINY topology
+    n_blocks, n_modules = 0, 0
+    for i, d in enumerate(cfg.transformer_layers):
+        if d:
+            n_modules += cfg.layers_per_block
+            n_blocks += cfg.layers_per_block * d
+    rev = tuple(reversed(cfg.transformer_layers))
+    for i, d in enumerate(rev):
+        if d:
+            n_modules += cfg.layers_per_block + 1
+            n_blocks += (cfg.layers_per_block + 1) * d
+    if cfg.mid_transformer_layers:
+        n_modules += 1
+        n_blocks += cfg.mid_transformer_layers
+
+    mesh = tp.make_tp_mesh((1, 2), devices=jax.devices()[:2])
+    params_sh = jax.device_put(params, tp.tp_unet_sharding(params, mesh))
+    with jax.set_mesh(mesh):
+        compiled = jax.jit(unet.apply).lower(
+            params_sh, latents, t, context, added).compile()
+    counts = _collective_counts(compiled)
+    # +1: conv_out's kernel is replicated but its INPUT activation arrives
+    # channel-sharded from the last up-block, and GSPMD contracts the
+    # sharded cin locally and all-reduces the 4-channel partial sums —
+    # cheaper than all-gathering the wide activation first (verified by
+    # op_name on the compiled HLO: the one extra reduce sits at
+    # UNet2DCondition/conv_out/conv_general_dilated).
+    expected_reduces = 3 * n_blocks + n_modules + 1
+    assert counts["all-reduce"] == expected_reduces, (counts, n_blocks,
+                                                      n_modules)
+    # gathers belong to the conv/GroupNorm channel boundary only: 50
+    # cout-sharded convs lower to 130 gathers today (~2.6 each: GN stats
+    # partials + the next conv's cin). Bound at 3x so a rule regression
+    # that starts gathering the token-space math (~3 more per transformer
+    # block = +51) fails, while GSPMD version drift does not.
+    n_conv_sharded = sum(
+        1 for (_, leaf), (_, s) in zip(
+            jax.tree_util.tree_flatten_with_path(params)[0],
+            jax.tree_util.tree_flatten_with_path(
+                tp.tp_unet_sharding(params, mesh))[0])
+        if leaf.ndim == 4 and s.spec != P())
+    assert counts["all-gather"] <= 3 * n_conv_sharded, (
+        counts, n_conv_sharded)
+
+
 @pytest.mark.slow
 def test_pipeline_class_tp_serving():
     """The CLI serving path: shard_bundle_for_tp + Pipeline(mesh=...) on a

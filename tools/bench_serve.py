@@ -84,11 +84,22 @@ def main():
             with lock:
                 lat.append(time.time() - t0)
 
-    # warmup: serial, untimed (pays compile for the batch arities)
+    # warmup: untimed. First serial (arity-1 program), then one concurrent
+    # burst shaped like the timed load — the server co-batches it, paying
+    # the compile for the padded arity (and the vector-CFG variant when
+    # --mixed-guidance) so the timed phase measures steady state.
     for w in range(args.warmup):
         one_request(next(idx), timed=False)
         print(f"[bench_serve] warmup {w + 1}/{args.warmup} done",
               file=sys.stderr, flush=True)
+    burst = [threading.Thread(target=one_request, args=(next(idx), False))
+             for _ in range(args.clients)]
+    for t in burst:
+        t.start()
+    for t in burst:
+        t.join()
+    print(f"[bench_serve] concurrent warmup burst ({args.clients}) done",
+          file=sys.stderr, flush=True)
 
     t_start = time.time()
     sem = threading.Semaphore(args.clients)
