@@ -47,6 +47,10 @@ class BatchingEngine:
         self.pipe, self.tokenize, self.size = pipe, tokenize, size
         self.max_batch, self.window = max_batch, window_ms / 1000.0
         self.latent = size // latent_factor
+        # observability for tools/bench_serve.py: device calls vs requests
+        # proves co-batching from outside the process (/healthz "engine")
+        self.stats = {"device_calls": 0, "requests_batched": 0,
+                      "vector_cfg_calls": 0, "batch_hist": {}}
         self.q: "queue.Queue" = queue.Queue()
         threading.Thread(target=self._worker, daemon=True).start()
 
@@ -109,6 +113,13 @@ class BatchingEngine:
                         height=self.size, width=self.size, num_steps=steps,
                         guidance_scale=guidance, guidance_rescale=rescale,
                         init_noise=noise)
+                    st = self.stats
+                    st["device_calls"] += 1
+                    st["requests_batched"] += n
+                    st["vector_cfg_calls"] += int(
+                        not isinstance(guidance, float))
+                    key = str(n)
+                    st["batch_hist"][key] = st["batch_hist"].get(key, 0) + 1
                     for it, img in zip(items, imgs):
                         it[3]["img"] = img
                 except Exception as e:
@@ -218,6 +229,7 @@ def main(argv=None):
             body = json.dumps({
                 "status": "ok", "requests": stats["requests"],
                 "uptime_s": round(time.time() - stats["started"], 1),
+                "engine": engine.stats,
             }).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")

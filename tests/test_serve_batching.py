@@ -134,6 +134,22 @@ def test_error_propagates_to_all_cobatched():
                for e in errs)
 
 
+def test_engine_stats_counters():
+    """The /healthz-exposed counters (tools/bench_serve.py's external
+    co-batching proof) track device calls, real (unpadded) request counts,
+    and vector-CFG calls."""
+    pipe = FakePipe()
+    eng = BatchingEngine(pipe, _tok, size=64, max_batch=8, window_ms=300)
+    # burst 1: 3 uniform-CFG requests -> 1 call, scalar CFG
+    _submit_many(eng, [("a", "", 4, 7.5, 0.0, i) for i in range(3)])
+    # burst 2: 2 mixed-CFG requests -> 1 call, vector CFG
+    _submit_many(eng, [("a", "", 4, 7.5, 0.0, 0), ("b", "", 4, 5.0, 0.0, 1)])
+    assert eng.stats["device_calls"] == 2
+    assert eng.stats["requests_batched"] == 5  # real rows, not pad rows
+    assert eng.stats["vector_cfg_calls"] == 1
+    assert eng.stats["batch_hist"] == {"3": 1, "2": 1}
+
+
 def test_max_batch_one_disables_cobatching():
     pipe = FakePipe()
     eng = BatchingEngine(pipe, _tok, size=64, max_batch=1, window_ms=50)

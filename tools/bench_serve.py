@@ -37,6 +37,18 @@ def wait_healthy(host, port, timeout_s=3600):
     return False
 
 
+def engine_stats(host, port):
+    """Snapshot the server's BatchingEngine counters (cli/serve.py
+    /healthz "engine" field): device_calls vs requests_batched is the
+    external co-batching proof."""
+    try:
+        c = http.client.HTTPConnection(host, port, timeout=10)
+        c.request("GET", "/healthz")
+        return json.loads(c.getresponse().read()).get("engine") or {}
+    except (OSError, ValueError):
+        return {}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="127.0.0.1")
@@ -101,6 +113,7 @@ def main():
     print(f"[bench_serve] concurrent warmup burst ({args.clients}) done",
           file=sys.stderr, flush=True)
 
+    stats_before = engine_stats(args.host, args.port)
     t_start = time.time()
     sem = threading.Semaphore(args.clients)
     threads = []
@@ -117,6 +130,8 @@ def main():
         t.join()
     wall = time.time() - t_start
 
+    stats_after = engine_stats(args.host, args.port)
+
     if errors:
         print(f"[bench_serve] {len(errors)} errors, first: {errors[0]}",
               file=sys.stderr)
@@ -124,6 +139,23 @@ def main():
     if not n:
         sys.exit(1)
     lat.sort()
+    # co-batching proof: timed-phase delta of the server's own counters.
+    # requests_batched/device_calls > 1 means concurrent requests shared
+    # device calls; vector_cfg_calls > 0 under --mixed-guidance means
+    # requests with DIFFERENT guidance rode one call (the [B] operand).
+    cobatch = {}
+    if stats_after:
+        calls = (stats_after.get("device_calls", 0)
+                 - stats_before.get("device_calls", 0))
+        reqs = (stats_after.get("requests_batched", 0)
+                - stats_before.get("requests_batched", 0))
+        cobatch = {
+            "device_calls": calls, "requests_batched": reqs,
+            "avg_batch": round(reqs / calls, 2) if calls else None,
+            "vector_cfg_calls": (stats_after.get("vector_cfg_calls", 0)
+                                 - stats_before.get("vector_cfg_calls", 0)),
+            "batch_hist_total": stats_after.get("batch_hist", {}),
+        }
     print(json.dumps({
         "metric": "serving throughput under concurrent load",
         "value": round(n / wall, 4), "unit": "requests/s",
@@ -133,6 +165,7 @@ def main():
             "p50_s": round(statistics.median(lat), 2),
             "p95_s": round(lat[max(0, int(0.95 * n) - 1)], 2),
             "max_s": round(lat[-1], 2), "errors": len(errors),
+            "cobatch": cobatch,
         },
     }))
 
