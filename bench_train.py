@@ -44,6 +44,13 @@ def main():
                     help="numerics mode: run N identical steps (same init, "
                          "same batch, same rngs) with fp32 AND bf16 taps; "
                          "print per-step loss/grad-norm traces + deltas")
+    ap.add_argument("--grad-accum", type=int, default=1,
+                    help="split --batch into this many lax.scan microbatches "
+                         "with fp32 grad accumulation (TrainConfig."
+                         "grad_accum_steps): reaches effective batches whose "
+                         "one-shot activations OOM — e.g. --batch 10 "
+                         "--grad-accum 2 runs 2 x mb5, dodging both the "
+                         "activation peak AND the mb10 sublane padding tax")
     ap.add_argument("--no-dpad", action="store_true",
                     help="flash attention without D->128 padding "
                          "(PEA_FLASH_NO_DPAD): ~35%% slower kernels, halved "
@@ -154,7 +161,8 @@ def main():
     adapter_params = materialize(adapter_shapes, np.float32)
 
     frozen = jax.device_put(frozen, jax.devices()[0])
-    cfg = TrainConfig(total_steps=10_000, warmup_steps=0)
+    cfg = TrainConfig(total_steps=10_000, warmup_steps=0,
+                      grad_accum_steps=args.grad_accum)
     init_fn, step_fn = make_train_step(models, cfg)
     state, _ = init_fn(adapter_params)
     state = jax.device_put(state, jax.devices()[0])
@@ -239,7 +247,10 @@ def main():
     dt = min(times)
 
     print(json.dumps({
-        "metric": f"SDXL KD train samples/sec/chip ({size}^2, micro-batch {B})",
+        "metric": f"SDXL KD train samples/sec/chip ({size}^2, "
+                  + (f"batch {B} = {args.grad_accum} x mb"
+                     f"{B // args.grad_accum}" if args.grad_accum > 1
+                     else f"micro-batch {B}") + ")",
         "value": round(B / dt, 4),
         "unit": "samples/sec/chip",
         "vs_baseline": None,

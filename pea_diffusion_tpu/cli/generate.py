@@ -2,10 +2,14 @@
 
 Real mode loads converted checkpoints from diffusers/transformers-layout
 dirs; --demo runs a tiny random-weight SDXL-architecture stack end-to-end
-(useful for smoke-testing the full path on any machine).
+(useful for smoke-testing the full path on any machine). --demo plus
+--adapter serves a `cli.train --demo` proj checkpoint against the exact
+frozen towers it was trained with — the closed training->serving loop.
 
 Usage:
   python -m pea_diffusion_tpu.cli.generate --demo --prompt "一只可爱的猫" -o out.png
+  python -m pea_diffusion_tpu.cli.generate --demo \
+      --adapter /tmp/run/proj_200/pytorch_model.bin -o out.png
   python -m pea_diffusion_tpu.cli.generate \
       --model-dir /path/sdxl --text-encoder-dir /path/chinese-clip \
       --adapter /path/proj_xxx/pytorch_model.bin --prompt ... [--repl]
@@ -16,7 +20,7 @@ import argparse
 import sys
 
 
-def build_demo():
+def build_demo(adapter_path=None):
     import jax
     import jax.numpy as jnp
 
@@ -32,8 +36,21 @@ def build_demo():
     models = build_models(family="chinese_clip", text_cfg=BERT_TINY,
                           adapter_cfg=adapter_cfg, unet_cfg=ucfg,
                           vae_cfg=VAE_TINY, dtype=jnp.float32)
-    # host-side init: avoids one remote compile per module on TPU
-    params = init_params_host(models, "chinese_clip", BERT_TINY)
+    if adapter_path:
+        # closed training->serving loop: a proj checkpoint from
+        # `cli.train --demo` drops in against the EXACT frozen towers it
+        # was distilled with (cli/train.py build_demo PRNGKey(0) init) —
+        # the demo-scale analog of the reference's product claim
+        # (tests/test_sdxl_zh.py:86-153: a ~6M proj + stock SDXL)
+        from ..checkpoints.orbax_io import import_adapter
+        from .train import build_demo as build_train_demo
+        _, frozen, _, _ = build_train_demo(1)
+        params = {"text": frozen["text"],
+                  "adapter": import_adapter(adapter_path),
+                  "unet": frozen["unet"], "vae": frozen["vae"]}
+    else:
+        # host-side init: avoids one remote compile per module on TPU
+        params = init_params_host(models, "chinese_clip", BERT_TINY)
     params = jax.device_put(params, jax.devices()[0])
 
     def tokenize(texts):
@@ -330,7 +347,10 @@ def main(argv=None):
     from ..pipelines.text2image import StableDiffusionXLPEAPipeline
 
     if args.demo:
-        models, params, tokenize, size = build_demo()
+        models, params, tokenize, size = build_demo(args.adapter)
+        if args.adapter:
+            print(f"[generate] --demo + --adapter: serving {args.adapter} "
+                  "against the cli.train --demo frozen towers")
         size = min(args.size, size)  # tiny stack handles any /16 size
         steps = min(args.steps, 8)
     else:

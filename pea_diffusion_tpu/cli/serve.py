@@ -13,7 +13,13 @@ operating curve (BASELINE.md round 3: batch 8 = 0.282 img/s vs batch 1 =
 up to powers of two (bounded program count; persistent compile cache +
 --aot-cache amortize each size). Each request's initial noise is drawn
 from ITS OWN seed host-side and passed via the init_noise operand, so
-co-batching never changes a request's image.
+co-batching never changes a request's image. One rounding-level caveat:
+GroupNorm picks its reduction formulation by the STATIC batch size
+(models/layers.py group_norm: grouped for b<=2, per-channel sums for
+b>=3), so the same request solo vs co-batched can differ at
+reduction-order rounding (last-ulp) level — set PEA_GN_GROUPED=1/0 to
+pin one formulation per deployment if bitwise batch-invariance matters
+more than the measured per-batch-size throughput.
 
   python -m pea_diffusion_tpu.cli.serve --demo --port 8471 --max-batch 8
   curl -X POST localhost:8471/generate -d '{"prompt": "一只猫"}' > out.png

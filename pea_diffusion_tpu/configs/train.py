@@ -36,6 +36,13 @@ class TrainConfig:
     # Runtime
     text_encoder: str = "chinese_clip"  # mul_clip|chinese_clip|mt5|alt_clip|mul_zh
     batch_size_per_device: int = 10
+    # >1: split each step's batch into this many microbatches and
+    # lax.scan-accumulate fp32 grads before the single optimizer update —
+    # peak activation memory drops to one microbatch's, reaching effective
+    # batches the per-microbatch HBM bound forbids (the reference's exact
+    # mb10 @ 640^2 point OOMs by 3.2G on a 16G v5e as one microbatch;
+    # BASELINE.md round 4). batch_size_per_device must divide evenly.
+    grad_accum_steps: int = 1
     dtype: str = "bfloat16"  # compute dtype; reference used fp16 on GPU
     seed: int = 42
 

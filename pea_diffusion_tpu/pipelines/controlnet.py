@@ -180,21 +180,29 @@ def _canny_numpy(image: np.ndarray, low: float, high: float) -> np.ndarray:
     weak = nms >= low
     # hysteresis: keep weak pixels 8-connected to a strong one. scipy's
     # connected-component labeling is exact and O(H*W); the pure-numpy
-    # fallback grows one ring per pass, so it is bounded (a pass per pixel
-    # of chain length would cost seconds at 1024² on long weak chains).
+    # fallback grows one ring per pass. Each pass extends reach by one
+    # chebyshev step, so max(H, W) passes reach any pixel of the image —
+    # the fallback converges to the same fixpoint as scipy on every
+    # input (it just costs O(max(H,W) * H*W) worst-case instead).
     try:
         from scipy import ndimage
         labels, _ = ndimage.label(weak, structure=np.ones((3, 3), np.int8))
         keep_ids = np.unique(labels[strong])
         strong = weak & np.isin(labels, keep_ids[keep_ids > 0])
     except ImportError:
-        for _ in range(128):
+        converged = False
+        for _ in range(max(mag.shape)):
             sp = np.pad(strong, 1)
             grown = weak & (
                 sp[:-2, :-2] | sp[:-2, 1:-1] | sp[:-2, 2:] | sp[1:-1, :-2]
                 | sp[1:-1, 2:] | sp[2:, :-2] | sp[2:, 1:-1] | sp[2:, 2:])
             new = strong | grown
             if (new == strong).all():
+                converged = True
                 break
             strong = new
+        if not converged:  # unreachable by the bound argument above
+            import warnings
+            warnings.warn("canny hysteresis fallback did not reach its "
+                          "fixpoint; edges may be incomplete")
     return (strong * 255).astype(np.uint8)

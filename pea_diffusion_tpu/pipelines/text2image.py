@@ -112,9 +112,17 @@ def cfg_combine(eps_pair, guidance_scale, guidance_rescale=None):
     `guidance_rescale` may be traced scalars — serving different CFG values
     does NOT recompile (rescale=0 reduces exactly to the unrescaled output,
     so it is applied unconditionally when not None) — or traced [B]
-    vectors, giving each batch row its own guidance (request co-batching)."""
+    vectors, giving each batch row its own guidance (request co-batching).
+
+    The effective scale is clamped to >=1: scale<=1 means "no CFG" (the
+    diffusers convention the solo scalar path implements by skipping the
+    uncond half entirely), so a guidance-0.5 request co-batched with a
+    guidance-7.5 one still gets exactly eps_t — co-batching never changes
+    a request's image (cli/serve.py guarantee; clamping is a no-op for
+    every scale the CFG path is entered with solo)."""
     eps_u, eps_t = jnp.split(eps_pair, 2, axis=0)
-    eps = eps_u + _per_sample(guidance_scale, eps_u.ndim) * (eps_t - eps_u)
+    scale = jnp.maximum(_per_sample(guidance_scale, eps_u.ndim), 1.0)
+    eps = eps_u + scale * (eps_t - eps_u)
     if guidance_rescale is not None:
         eps = rescale_noise_cfg(eps, eps_t,
                                 _per_sample(guidance_rescale, eps_u.ndim))
@@ -128,16 +136,24 @@ def decode_latents(models: PEAModels, vae_params, latents: jnp.ndarray,
 
     `chunk` > 0 decodes the batch `chunk` rows at a time via `lax.map`
     (a compiled sequential loop — one program, peak activation memory
-    divided by B/chunk). Rows are independent through the decoder, so the
-    result is bitwise the per-chunk decode; the int8 "vae" scope needs it
-    at b8 1024² where the quantize step's bf16+int8 activation copies
-    push the one-shot decode past HBM."""
+    divided by ceil(B/chunk)). Rows are independent through the decoder,
+    so the result is bitwise the per-chunk decode; the int8 "vae" scope
+    needs it at b8 1024² where the quantize step's bf16+int8 activation
+    copies push the one-shot decode past HBM. A ragged tail (b % chunk
+    != 0) is padded with the last row and sliced off after — chunking
+    must hold for exactly the batches it exists to keep under HBM."""
     b = latents.shape[0]
-    if 0 < chunk < b and b % chunk == 0:
-        zs = latents.reshape(b // chunk, chunk, *latents.shape[1:])
+    if 0 < chunk < b:
+        nchunks = -(-b // chunk)
+        pad = nchunks * chunk - b
+        z = latents
+        if pad:
+            z = jnp.concatenate(
+                [z, jnp.broadcast_to(z[-1:], (pad,) + z.shape[1:])], axis=0)
+        zs = z.reshape(nchunks, chunk, *z.shape[1:])
         imgs = jax.lax.map(
-            lambda z: decode_latents(models, vae_params, z), zs)
-        return imgs.reshape(b, *imgs.shape[2:])
+            lambda zc: decode_latents(models, vae_params, zc), zs)
+        return imgs.reshape(nchunks * chunk, *imgs.shape[2:])[:b]
     z = latents.astype(jnp.float32) / models.vae_scaling
     img = models.vae.apply(vae_params, z, method=models.vae.decode)
     return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
@@ -245,7 +261,8 @@ def generate_sdxl(models: PEAModels, params: Params, ids, uncond_ids, rng, *,
     request's denoise in serving)."""
     if do_cfg is None:
         # max over a vector: a mixed batch runs the CFG program (per-row
-        # scale<=1 is still exact — scale 1 selects eps_t); all-<=1 takes
+        # scale is clamped to >=1 inside cfg_combine, so a <=1 row gets
+        # exactly eps_t, matching its solo no-CFG image); all-<=1 takes
         # the conditional-only fast path
         do_cfg = bool(np.max(np.asarray(guidance_scale)) > 1.0)
     out = _generate_sdxl_jit(

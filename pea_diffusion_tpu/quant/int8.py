@@ -331,6 +331,19 @@ def quantize_for_serving(models, params, ids, uncond_ids, size: int,
                   if not k.startswith("vae::")}
         vae_ranges = {k[len("vae::"):]: v for k, v in saved.items()
                       if k.startswith("vae::")}
+        # a cache written for a disjoint scope would fall back to
+        # default_amax on EVERY conv — refuse instead of clipping
+        # activations silently (delete the file to recalibrate)
+        if unet_scopes and not ranges:
+            raise ValueError(
+                f"{ranges_path} contains no UNet conv ranges but scope "
+                f"{sorted(unet_scopes)} was requested — stale cache? "
+                f"Delete it to recalibrate.")
+        if quant_vae and not vae_ranges:
+            raise ValueError(
+                f"{ranges_path} contains no vae:: ranges but the 'vae' "
+                f"scope was requested — stale cache? Delete it to "
+                f"recalibrate.")
     else:
         ranges = (calibrate_sdxl(models, params, ids, uncond_ids, size,
                                  scopes=unet_scopes)
@@ -448,8 +461,13 @@ def quantize_unet_params(float_params, ranges: Optional[Dict[str, float]],
     """Float UNet variables -> the param layout QConvInt8 expects.
 
     `ranges` comes from `calibrate_conv_ranges`; an in-scope conv missing
-    from it falls back to `default_amax` with a warning (serviceable for
-    smoke tests; calibrate with matching scopes for real serving)."""
+    from it falls back to `default_amax` with a warning. `ranges=None`
+    means "intentionally uncalibrated" (bench/smoke paths) and stays
+    silent; a PROVIDED dict — however empty — warns for every miss, so a
+    stale --calib-ranges cache written for a different scope cannot
+    silently clip activations at default_amax (calibrate with matching
+    scopes for real serving)."""
+    calibrated = ranges is not None
     ranges = ranges or {}
     missing = []
 
@@ -477,7 +495,7 @@ def quantize_unet_params(float_params, ranges: Optional[Dict[str, float]],
         return out
 
     quantized = walk(float_params, ())
-    if missing and ranges:
+    if missing and calibrated:
         print(f"[int8] WARNING: {len(missing)} in-scope convs missing "
               f"from calibration ranges (using default_amax="
               f"{default_amax}): {missing[:5]}{'...' if len(missing) > 5 else ''}")

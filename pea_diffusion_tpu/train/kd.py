@@ -275,8 +275,47 @@ def make_train_step(models: KDModels, cfg: TrainConfig):
             tx_holder["tx"] = make_optimizer(cfg, state.adapter_params)
         tx = tx_holder["tx"]
         grad_fn = jax.value_and_grad(kd_loss, has_aux=True)
-        (loss, metrics), grads = grad_fn(
-            state.adapter_params, models, frozen, cfg, batch, rng)
+        accum = max(1, cfg.grad_accum_steps)
+        if accum == 1:
+            (loss, metrics), grads = grad_fn(
+                state.adapter_params, models, frozen, cfg, batch, rng)
+        else:
+            # microbatch the step: lax.scan over [accum, mb, ...] slices
+            # accumulating fp32 grads — ONE compiled program whose peak
+            # activation memory is a single microbatch's (the UNet fwd+bwd
+            # temps dominate; the ~12M-param fp32 grad carry is noise).
+            # Each microbatch draws its own rng (CFG dropout / noise /
+            # timesteps), so accum x mb is statistically a batch of
+            # accum*mb samples; equal-sized slices make mean-of-means the
+            # exact full-batch mean.
+            def slice_mb(x):
+                b = x.shape[0]
+                if b % accum:
+                    raise ValueError(
+                        f"batch rows {b} not divisible by "
+                        f"grad_accum_steps {accum}")
+                return x.reshape(accum, b // accum, *x.shape[1:])
+
+            mbs = jax.tree_util.tree_map(slice_mb, batch)
+            rngs = jax.random.split(rng, accum)
+
+            def body(g_acc, xs):
+                b, r = xs
+                (_, m), g = grad_fn(
+                    state.adapter_params, models, frozen, cfg, b, r)
+                g_acc = jax.tree_util.tree_map(
+                    lambda a, gi: a + gi.astype(jnp.float32), g_acc, g)
+                return g_acc, m
+
+            g0 = jax.tree_util.tree_map(
+                lambda p: jnp.zeros(p.shape, jnp.float32),
+                state.adapter_params)
+            g_sum, metrics_stack = jax.lax.scan(body, g0, (mbs, rngs))
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g / accum).astype(p.dtype),
+                g_sum, state.adapter_params)
+            metrics = jax.tree_util.tree_map(
+                lambda m: m.mean(0), metrics_stack)
         updates, opt_state = tx.update(grads, state.opt_state,
                                        state.adapter_params)
         adapter_params = optax.apply_updates(state.adapter_params, updates)

@@ -42,6 +42,47 @@ def test_cli_controlnet_demo(tmp_path):
     assert Image.open(out).size == (16, 16)  # tiny VAE decodes latents x2
 
 
+@pytest.mark.slow
+def test_cli_train_generate_eval_demo_loop(tmp_path):
+    """The closed product loop at demo scale (VERDICT r4 #5 / the
+    reference's actual workflow, train_sdxl_zh.py:443-448 ->
+    tests/test_sdxl_zh.py:86-153): train a few KD steps, export
+    proj_N/pytorch_model.bin, serve it via `generate --demo --adapter`
+    against the SAME frozen towers, then smoke the metric plumbing with
+    `evaluate --demo`."""
+    import glob
+    import os
+
+    from pea_diffusion_tpu.cli import evaluate as eval_cli
+    from pea_diffusion_tpu.cli import train as train_cli
+
+    out = str(tmp_path / "run")
+    train_cli.main(["--demo", "--steps", "2", "--batch-size", "2",
+                    "--every-n-steps", "1", "--log-every", "1",
+                    "--output", out])
+    projs = sorted(glob.glob(os.path.join(out, "proj_*")))
+    assert projs, os.listdir(out)
+    ckpt = os.path.join(projs[-1], "pytorch_model.bin")
+    assert os.path.exists(ckpt)
+
+    png = str(tmp_path / "img.png")
+    main(["--demo", "--adapter", ckpt, "--size", "64", "--steps", "2",
+          "--prompt", "一只猫", "-o", png])
+    assert Image.open(png).size == (16, 16)
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("一只猫\n")
+    eval_cli.main(["--demo", "--images", png, "--prompts", str(prompts),
+                   "--fid-ref", png])
+    # and a trained adapter produces a different image than the random one
+    png0 = str(tmp_path / "img0.png")
+    main(["--demo", "--size", "64", "--steps", "2", "--prompt", "一只猫",
+          "-o", png0])
+    a = np.asarray(Image.open(png)).astype(np.int32)
+    b = np.asarray(Image.open(png0)).astype(np.int32)
+    assert np.abs(a - b).max() > 0
+
+
 def test_cli_inpaint_demo(tmp_path):
     base = tmp_path / "base.png"
     mask = tmp_path / "mask.png"

@@ -136,6 +136,43 @@ def test_grads_only_adapter_and_loss_decreases(setup):
     assert int(state.step) == 8
 
 
+def test_grad_accum_matches_mean_of_microbatch_grads(setup):
+    """grad_accum_steps=2 (the HBM lever for the reference's mb10 @ 640^2
+    point, TrainConfig.grad_accum_steps) must produce EXACTLY the update of
+    fp32-averaging the two microbatch grads computed with the same split
+    rngs — the scan is a memory optimization, not a semantic change."""
+    import optax
+
+    models, frozen, adapter_params = setup
+    cfg = TrainConfig(total_steps=1000, warmup_steps=0, learning_rate=1e-3,
+                      grad_accum_steps=2)
+    init_fn, step_fn = make_train_step(models, cfg)
+    state, tx = init_fn(adapter_params)
+    batch = _batch(5)
+    rng = jax.random.PRNGKey(7)
+    new_state, metrics = jax.jit(step_fn)(state, frozen, batch, rng)
+    assert np.isfinite(float(metrics["loss"]))
+
+    rngs = jax.random.split(rng, 2)
+    gs = []
+    for i in range(2):
+        mb = jax.tree.map(
+            lambda x: x.reshape(2, B // 2, *x.shape[1:])[i], batch)
+        g = jax.grad(kd_loss, has_aux=True)(
+            adapter_params, models, frozen, cfg, mb, rngs[i])[0]
+        gs.append(g)
+    grads = jax.tree.map(
+        lambda a, b, p: ((a.astype(jnp.float32) + b.astype(jnp.float32))
+                         / 2).astype(p.dtype),
+        gs[0], gs[1], adapter_params)
+    updates, _ = tx.update(grads, state.opt_state, adapter_params)
+    want = optax.apply_updates(adapter_params, updates)
+    for a, b in zip(jax.tree.leaves(want),
+                    jax.tree.leaves(new_state.adapter_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_sharded_step_dp_fsdp(setup):
     models, frozen, adapter_params = setup
     assert len(jax.devices()) == 8, "conftest must provide 8 cpu devices"

@@ -114,6 +114,44 @@ def test_sdxl_vector_cfg_matches_per_row_scalar(sdxl_setup):
     assert np.abs(lo[1] - hi[1]).max() > 1e-4
 
 
+def test_sdxl_cobatch_sub1_guidance_exact(sdxl_setup):
+    """Co-batching invariance for guidance <= 1 (ADVICE r4 #1): solo, a
+    scale<=1 request takes the no-CFG path (pure eps_t); co-batched with a
+    scale>1 request it runs the CFG program, where cfg_combine clamps its
+    per-row scale to 1 — selecting exactly eps_t. The sub-1 row of the
+    mixed batch must equal its solo image bit-for-bit at the op level
+    (identical math; allclose covers reduction-order rounding)."""
+    models, params = sdxl_setup
+    ids, uncond = _ids(7)
+    noise = np.random.RandomState(3).standard_normal(
+        (B, 8, 8, 4)).astype(np.float32)
+    kw = dict(height=64, width=64, num_steps=4, init_noise=noise)
+
+    mixed = np.asarray(generate_sdxl(
+        models, params, ids, uncond, jax.random.PRNGKey(0),
+        guidance_scale=np.array([0.5, 7.5], np.float32), do_cfg=True, **kw))
+    solo = np.asarray(generate_sdxl(
+        models, params, ids, uncond, jax.random.PRNGKey(0),
+        guidance_scale=0.5, **kw))  # auto do_cfg=False: conditional-only
+    np.testing.assert_allclose(mixed[0], solo[0], atol=1e-5)
+    # sanity: the 7.5 row is genuinely CFG'd (differs from its no-CFG image)
+    assert np.abs(mixed[1] - solo[1]).max() > 1e-4
+
+
+def test_decode_latents_ragged_chunk(sdxl_setup):
+    """decode_latents with b % chunk != 0 (ADVICE r4 #5) must chunk (pad
+    the tail, slice off) rather than silently fall back to the one-shot
+    decode — and match it numerically."""
+    from pea_diffusion_tpu.pipelines.text2image import decode_latents
+    models, params = sdxl_setup
+    z = jnp.asarray(np.random.RandomState(5).standard_normal(
+        (3, 8, 8, 4)).astype(np.float32))
+    ref = np.asarray(decode_latents(models, params["vae"], z))
+    ragged = np.asarray(decode_latents(models, params["vae"], z, chunk=2))
+    assert ragged.shape == ref.shape
+    np.testing.assert_allclose(ragged, ref, atol=1e-5)
+
+
 def test_sdxl_split_decode_matches_fused(sdxl_setup):
     """split_decode compiles denoise + VAE decode as two programs (the
     int8 "vae"-scope serving mode and the serving-pipelining hook); the

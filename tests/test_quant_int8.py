@@ -194,6 +194,45 @@ def test_quantize_for_serving_uses_saved_ranges(tmp_path, monkeypatch):
         "kernel_q"].dtype == jnp.int8
 
 
+def test_stale_ranges_cache_raises(tmp_path):
+    """A --calib-ranges file written for a DISJOINT scope (ADVICE r4 #2)
+    must raise, not silently quantize every conv at default_amax: here a
+    vae-only cache is loaded while the default 'resnet' scope is
+    requested."""
+    import pea_diffusion_tpu.quant.int8 as q8
+    from pea_diffusion_tpu.configs.adapter import AdapterConfig
+    from pea_diffusion_tpu.configs.text_encoder import BERT_TINY
+    from pea_diffusion_tpu.configs.unet import VAE_TINY
+    from pea_diffusion_tpu.pipelines.factory import build_models
+    from pea_diffusion_tpu.quant import save_ranges
+
+    _, _, params, _ = _setup()
+    p = str(tmp_path / "vae_only.json")
+    save_ranges(p, {"vae::up_0/conv1": 2.0})
+    ucfg = SDXL_UNET_TINY
+    pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                  - 6 * ucfg.addition_time_embed_dim)
+    models = build_models(
+        family="chinese_clip", text_cfg=BERT_TINY,
+        adapter_cfg=AdapterConfig(BERT_TINY.hidden_size, (96, pooled_dim),
+                                  head_dim=ucfg.cross_attention_dim),
+        unet_cfg=ucfg, vae_cfg=VAE_TINY, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="stale cache"):
+        q8.quantize_for_serving(models, {"unet": params}, None, None, 128,
+                                ranges_path=p)
+
+
+def test_provided_empty_ranges_warns(capsys):
+    """quantize_unet_params: ranges=None (intentionally uncalibrated) is
+    silent, but a PROVIDED dict missing in-scope convs warns — even when
+    empty (the per-conv miss arm of ADVICE r4 #2)."""
+    _, _, params, _ = _setup()
+    quantize_unet_params(params, None, default_amax=4.0)
+    assert "WARNING" not in capsys.readouterr().out
+    quantize_unet_params(params, {}, default_amax=4.0)
+    assert "missing" in capsys.readouterr().out
+
+
 def test_parse_scopes():
     from pea_diffusion_tpu.quant import parse_scopes
 

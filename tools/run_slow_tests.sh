@@ -25,6 +25,7 @@ test_onepass_attention:1800
 test_fsdp_midsize:3600
 test_distributed_multiprocess:1800
 test_tp_inference:2400
+test_cli_modes:2400
 "
 
 fail=0
