@@ -57,7 +57,9 @@ def test_cli_train_generate_eval_demo_loop(tmp_path):
     from pea_diffusion_tpu.cli import train as train_cli
 
     out = str(tmp_path / "run")
-    train_cli.main(["--demo", "--steps", "2", "--batch-size", "2",
+    # batch 8: divisible by the data axis on both the 8-device CPU test
+    # mesh and single-chip hardware
+    train_cli.main(["--demo", "--steps", "2", "--batch-size", "8",
                     "--every-n-steps", "1", "--log-every", "1",
                     "--output", out])
     projs = sorted(glob.glob(os.path.join(out, "proj_*")))
@@ -70,17 +72,19 @@ def test_cli_train_generate_eval_demo_loop(tmp_path):
           "--prompt", "一只猫", "-o", png])
     assert Image.open(png).size == (16, 16)
 
-    prompts = tmp_path / "prompts.txt"
-    prompts.write_text("一只猫\n")
-    eval_cli.main(["--demo", "--images", png, "--prompts", str(prompts),
-                   "--fid-ref", png])
-    # and a trained adapter produces a different image than the random one
+    # the trained adapter produces a different image than the random one
     png0 = str(tmp_path / "img0.png")
     main(["--demo", "--size", "64", "--steps", "2", "--prompt", "一只猫",
           "-o", png0])
     a = np.asarray(Image.open(png)).astype(np.int32)
     b = np.asarray(Image.open(png0)).astype(np.int32)
     assert np.abs(a - b).max() > 0
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("一只猫\n")  # single prompt replicates over images
+    # FID needs >= 2 samples per feature set (covariance, ddof=1)
+    eval_cli.main(["--demo", "--images", png, png0,
+                   "--prompts", str(prompts), "--fid-ref", png, png0])
 
 
 def test_cli_inpaint_demo(tmp_path):
