@@ -7,6 +7,13 @@
 # keeps peak RSS bounded (each module's jit cache dies with its process).
 #
 # Usage: bash tools/run_slow_tests.sh [logdir]   (default /tmp/slowtests)
+#
+# NOTE: test_fsdp_midsize wants the host to itself. Its 8-virtual-device
+# fsdp all-gathers go through XLA:CPU's collective rendezvous, which on
+# this 1-core host can hard-abort (SIGABRT, no message) when another
+# process competes for the core (observed twice in round 5, both times
+# concurrent with a TPU bench's compile phase; solo run green in 1488s
+# with "rendezvous ... not all arrived on time / unstuck" warnings).
 set -u
 LOGDIR=${1:-/tmp/slowtests}
 mkdir -p "$LOGDIR"
