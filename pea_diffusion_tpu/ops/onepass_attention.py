@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+_LOG2E = math.log2(math.e)
 
 # Max fp32 score-matrix elements held in VMEM per grid step (4 MB).
 _MAX_SCORE_ELEMS = 1024 * 1024
@@ -74,6 +75,37 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim, group, kv_len,
     o_ref[0] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
 
 
+def _kernel_bb(q_ref, k_ref, v_ref, o_ref, *, scale, head_dim, group, bb):
+    """Batch-blocked long-KV kernel: q_ref [bb, bq, 128], k/v_ref
+    [bb, skv, 128] — bb batch rows share one grid step, amortizing the
+    per-step fixed cost (round-5 sweep, tools/sweep_onepass.py phase 2:
+    bq256+bb2+exp2 = 68.2-68.5 TF/s vs 65.6-65.8 shipped at S=4096, b16).
+    exp2 with the folded log2(e) scale is REQUIRED here: the otherwise
+    identical exp() variant crashes the Mosaic compiler (4x retried,
+    docs/sweep_onepass_r5_p2_retry.json). No KV mask: callers guarantee
+    skv == skv_p (the eligibility gate in _forward_impl)."""
+    eff_scale = scale * _LOG2E
+    for r in range(bb):
+        q = q_ref[r]
+        k = k_ref[r]
+        v = v_ref[r]
+        outs = []
+        for g in range(group):
+            lo = g * head_dim
+            s = jax.lax.dot_general(
+                q[:, lo:lo + head_dim], k[:, lo:lo + head_dim],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * eff_scale
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            acc = jax.lax.dot_general(
+                p.astype(v.dtype), v[:, lo:lo + head_dim],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            outs.append(acc / l)
+        o_ref[r] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
 def supports(sq: int, skv: int, heads: int, head_dim: int) -> bool:
     """Shapes where the one-pass kernel WINS on v5e (bench_attention.py):
     128-lane head groups, a score matrix that fits VMEM alongside K/V, and a
@@ -93,9 +125,25 @@ def supports(sq: int, skv: int, heads: int, head_dim: int) -> bool:
 
 
 def _auto_block_q(sq_p: int, skv_p: int) -> int:
+    # Short-KV shapes (SDXL level 2: S=1024) take whole-S query blocks:
+    # measured 38.2 vs 36.2 TF/s for bq1024 vs the old 512 cap (round-5
+    # sweep phase 2) — the per-grid-step fixed cost dominates there, so
+    # fewer/fatter steps win. Long-KV shapes keep the VMEM-budget cap.
+    cap = 1024 if skv_p <= 1024 else 512
     bq = _MAX_SCORE_ELEMS // skv_p
-    bq = max(128, min(512, bq // 128 * 128))
+    bq = max(128, min(cap, bq // 128 * 128))
     return min(bq, sq_p)
+
+
+def _auto_batch_block(b, sq, skv, sq_p, skv_p, bq):
+    """Batch-block eligibility for the measured long-KV fast path
+    (bq256+bb2+exp2, +4% at S=4096 b16): even batch, no KV mask, no query
+    padding, and whole 256-row query blocks. Everything else keeps the
+    general bb=1 kernel."""
+    if (skv_p >= 2048 and b % 2 == 0 and skv == skv_p and sq == sq_p
+            and bq == 256 and sq_p % bq == 0):
+        return 2
+    return 1
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "head_dim", "scale",
@@ -127,6 +175,37 @@ def _forward_impl(q, k, v, heads, head_dim, scale=None, block_q=None,
         q = jnp.pad(q, ((0, 0), (0, pad_to - sq_p), (0, 0)))
         sq_p = pad_to
 
+    bb = 1 if block_q else _auto_batch_block(b, sq, skv, sq_p, skv_p, bq)
+    cost = pl.CostEstimate(
+        flops=4 * b * heads * sq_p * skv_p * head_dim,
+        bytes_accessed=2 * b * feat * (2 * sq_p + 2 * skv_p),
+        transcendentals=b * heads * sq_p * skv_p,
+    )
+    if bb > 1:
+        grid = (b // bb, heads // group, sq_p // bq)
+        out = pl.pallas_call(
+            functools.partial(_kernel_bb, scale=scale, head_dim=head_dim,
+                              group=group, bb=bb),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bb, bq, lanes),
+                             lambda bi, hi, qi: (bi, qi, hi)),
+                pl.BlockSpec((bb, skv_p, lanes),
+                             lambda bi, hi, qi: (bi, 0, hi)),
+                pl.BlockSpec((bb, skv_p, lanes),
+                             lambda bi, hi, qi: (bi, 0, hi)),
+            ],
+            out_specs=pl.BlockSpec((bb, bq, lanes),
+                                   lambda bi, hi, qi: (bi, qi, hi)),
+            out_shape=jax.ShapeDtypeStruct((b, sq_p, feat), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=cost,
+            interpret=interpret,
+        )(q, k, v)
+        return out  # bb path has sq == sq_p by construction
+
     grid = (b, heads // group, sq_p // bq)
     out = pl.pallas_call(
         functools.partial(_kernel, scale=scale, head_dim=head_dim,
@@ -143,11 +222,7 @@ def _forward_impl(q, k, v, heads, head_dim, scale=None, block_q=None,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * heads * sq_p * skv_p * head_dim,
-            bytes_accessed=2 * b * feat * (2 * sq_p + 2 * skv_p),
-            transcendentals=b * heads * sq_p * skv_p,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(q, k, v)
     return out[:, :sq, :] if sq_p != sq else out
